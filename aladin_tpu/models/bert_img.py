@@ -1,0 +1,225 @@
+"""The OSCAR/VinVL cross-modal BERT backbone, rebuilt as Flax modules.
+
+Behavioral contract (ref:oscar/modeling/modeling_bert.py:150-279 BertImgModel
+plus the vendored pytorch_transformers BERT internals it extends):
+
+  * text path: word + absolute-position + token-type embeddings ->
+    LayerNorm(eps=1e-12) -> dropout;
+  * image path: Linear(img_feature_dim -> hidden) on the 2054-d region
+    features (2048 visual + 6 box geometry), optional LayerNorm
+    (eps=img_layer_norm_eps), dropout - NO position/type embeddings
+    (ref:modeling_bert.py:249-266);
+  * streams concatenated along the token axis (text first,
+    ref:modeling_bert.py:269);
+  * additive attention bias (1 - mask) * -10000 broadcast over heads
+    (ref:modeling_bert.py:213-226), accepting 1-D (B, K) or 2-D (B, Q, K)
+    masks;
+  * 12 post-LN encoder layers: self-attention -> dense -> dropout ->
+    LN(x + res); intermediate GELU (exact erf form, the pytorch_transformers
+    'gelu') -> output dense -> dropout -> LN(+res);
+  * pooler: tanh(Linear(token 0)) - used by the OSCAR pair classifier only;
+  * returns (sequence_output, pooled, all_hidden_states, all_attentions),
+    hidden states being the 12 pre-layer states + the final one (13 entries),
+    exactly like output_hidden_states=True upstream.
+
+TPU notes: everything is static-shaped; compute dtype is a constructor knob
+(bf16 on TPU, f32 params); attention is a plain dot-product chain that XLA
+fuses - sequence lengths here are <=134 tokens, far below the flash-attention
+crossover, so no custom kernel is warranted (SURVEY.md S5.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import Array
+
+from aladin_tpu.ops.masking import additive_attention_bias
+
+
+@dataclasses.dataclass(frozen=True)
+class BertImgConfig:
+    """Mirrors the BertConfig fields the backbone consumes (VinVL-base)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    img_feature_dim: int = 2054
+    img_feature_type: str = "frcnn"
+    use_img_layernorm: bool = True
+    img_layer_norm_eps: float = 1e-12
+    num_labels: int = 2  # OSCAR pair classifier (matched / not-matched)
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "BertImgConfig":
+        keep = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in keep}
+        if "use_img_layernorm" in d:
+            kwargs["use_img_layernorm"] = bool(d["use_img_layernorm"])
+        return cls(**kwargs)
+
+
+def _dense_init(cfg: BertImgConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+class BertSelfAttention(nn.Module):
+    """Multi-head self-attention with additive bias; optionally returns probs."""
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name=name
+        )
+        q = dense("query")(x).reshape(*x.shape[:-1], h, d)
+        k = dense("key")(x).reshape(*x.shape[:-1], h, d)
+        v = dense("value")(x).reshape(*x.shape[:-1], h, d)
+        # scores: (B, H, Q, K)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        scores = scores + bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs_dropped = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic
+        )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs_dropped, v)
+        ctx = ctx.reshape(*x.shape[:-1], cfg.hidden_size)
+        return ctx, probs
+
+
+class BertLayer(nn.Module):
+    """One post-LN BERT encoder layer."""
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        ctx, probs = BertSelfAttention(cfg, self.dtype, name="attention")(
+            x, bias, deterministic
+        )
+        attn_out = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="attention_output"
+        )(ctx)
+        attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm")(
+            x + attn_out
+        )
+        inter = nn.Dense(
+            cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="intermediate"
+        )(x)
+        inter = jax.nn.gelu(inter, approximate=False)  # exact erf gelu, BERT-era
+        out = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="output"
+        )(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_layernorm")(
+            x + out
+        )
+        return x, probs
+
+
+class BertImgModel(nn.Module):
+    """Backbone over concatenated text tokens + projected region features.
+
+    Call with ``img_feats=None`` for a text-only pass (ALADIN's disentangled
+    caption branch, ref:alad/alad_model.py:125-131) or with (B, R, 2054)
+    region features for the image branch (ref:alad/alad_model.py:134-140).
+    """
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Array,  # (B, L) int32
+        attention_mask: Array,  # (B, L [+R]) 1/0 or (B, Q, K)
+        token_type_ids: Optional[Array] = None,
+        img_feats: Optional[Array] = None,  # (B, R, img_feature_dim)
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ):
+        cfg = self.cfg
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        emb_init = _dense_init(cfg)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=emb_init,
+                        dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(l, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, embedding_init=emb_init,
+                       dtype=self.dtype, name="position_embeddings")(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
+                       dtype=self.dtype, name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="embeddings_layernorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+
+        if img_feats is not None:
+            img = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=emb_init,
+                           name="img_embedding")(img_feats.astype(self.dtype))
+            if cfg.use_img_layernorm:
+                img = nn.LayerNorm(epsilon=cfg.img_layer_norm_eps, dtype=self.dtype,
+                                   name="img_layernorm")(img)
+            img = nn.Dropout(cfg.hidden_dropout_prob)(img, deterministic=deterministic)
+            x = jnp.concatenate([x, img], axis=1)  # text first (ref :269)
+
+        bias = additive_attention_bias(attention_mask, dtype=jnp.float32)
+
+        hidden_states = [x]
+        attentions = []
+        for i in range(cfg.num_hidden_layers):
+            x, probs = BertLayer(cfg, self.dtype, name=f"layer_{i}")(x, bias, deterministic)
+            hidden_states.append(x)
+            if output_attentions:
+                attentions.append(probs)
+
+        pooled = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=emb_init,
+                          name="pooler")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+
+        all_hidden = jnp.stack(hidden_states, axis=0)  # (13, B, S, D)
+        all_attn = jnp.stack(attentions, axis=0) if output_attentions else None
+        return x, pooled, all_hidden, all_attn
+
+
+class ImageBertClassifier(nn.Module):
+    """OSCAR pair classifier head: CLS pooled -> dropout -> Linear(num_labels)
+    (ref:oscar/modeling/modeling_bert.py:290-354). The 'entangled teacher'
+    scoring path (ref:alad/train.py:340-384) builds on this."""
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None, img_feats=None,
+                 deterministic: bool = True, output_attentions: bool = False):
+        seq, pooled, hidden, attn = BertImgModel(self.cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids, img_feats,
+            deterministic, output_attentions,
+        )
+        pooled = nn.Dropout(self.cfg.hidden_dropout_prob)(pooled, deterministic=deterministic)
+        logits = nn.Dense(self.cfg.num_labels, dtype=self.dtype,
+                          kernel_init=_dense_init(self.cfg), name="classifier")(pooled)
+        return logits, seq, hidden, attn
