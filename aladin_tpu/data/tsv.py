@@ -1,0 +1,93 @@
+"""Random-access TSV reader with a byte-offset sidecar.
+
+Equivalent capability to the reference's TSVFile (ref:oscar/utils/tsv_file.py):
+a ``.lineidx`` sidecar of line byte offsets enables O(1) row seeks into the
+multi-GB features TSV; the file handle is lazily opened and re-opened when
+the process id changes (fork-safety for loader workers, ref:tsv_file.py:77-85).
+
+A C++ fast path (native/tsv_reader.cpp, loaded via ctypes) accelerates the
+hot row-decode (seek + read + base64 -> float32) when built; this module is
+the always-available pure-Python implementation and the API both share.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+class TSVFile:
+    def __init__(self, tsv_file: str, generate_lineidx: bool = True):
+        self.tsv_file = tsv_file
+        self.lineidx_file = os.path.splitext(tsv_file)[0] + ".lineidx"
+        self._fp = None
+        self._lineidx: Optional[List[int]] = None
+        self._pid: Optional[int] = None
+        if not os.path.isfile(self.lineidx_file) and generate_lineidx:
+            self._generate_lineidx()
+
+    def _generate_lineidx(self) -> None:
+        offsets = []
+        with open(self.tsv_file, "rb") as f:
+            pos = 0
+            for line in f:
+                offsets.append(pos)
+                pos += len(line)
+        with open(self.lineidx_file, "w") as f:
+            f.write("\n".join(str(o) for o in offsets) + "\n")
+
+    def _ensure_open(self) -> None:
+        if self._fp is None:
+            self._fp = open(self.tsv_file, "rb")
+            self._pid = os.getpid()
+        if self._pid != os.getpid():
+            # forked worker: re-open so file positions don't interleave
+            self._fp = open(self.tsv_file, "rb")
+            self._pid = os.getpid()
+
+    def _ensure_lineidx(self) -> None:
+        if self._lineidx is None:
+            with open(self.lineidx_file, "r") as f:
+                self._lineidx = [int(l.strip()) for l in f if l.strip()]
+
+    def num_rows(self) -> int:
+        self._ensure_lineidx()
+        return len(self._lineidx)
+
+    def seek(self, idx: int) -> List[str]:
+        self._ensure_open()
+        self._ensure_lineidx()
+        self._fp.seek(self._lineidx[idx])
+        return self._fp.readline().decode("utf-8").rstrip("\n").split("\t")
+
+    def close(self) -> None:
+        if self._fp is not None:
+            self._fp.close()
+            self._fp = None
+
+    def __len__(self) -> int:
+        return self.num_rows()
+
+
+def decode_region_features(b64: str, num_boxes: int, feat_dim: int = -1) -> np.ndarray:
+    """base64 blob -> (num_boxes, feat_dim) float32 region features
+    (ref:alad/dataset.py:317-324 semantics)."""
+    buf = base64.b64decode(b64)
+    arr = np.frombuffer(buf, dtype=np.float32)
+    return arr.reshape((num_boxes, -1)) if feat_dim < 0 else arr.reshape((num_boxes, feat_dim))
+
+
+def write_tsv(path: str, rows) -> None:
+    """TSV writer with lineidx generation (ref:oscar/utils/tsv_file_ops.py:12-24
+    capability; used by tests/tools to build fixtures)."""
+    lineidx = os.path.splitext(path)[0] + ".lineidx"
+    with open(path, "w", encoding="utf-8") as f, open(lineidx, "w") as fi:
+        pos = 0
+        for row in rows:
+            line = "\t".join(str(c) for c in row) + "\n"
+            f.write(line)
+            fi.write(f"{pos}\n")
+            pos += len(line.encode("utf-8"))

@@ -1,0 +1,100 @@
+"""Matching-head Recall@K over global embeddings.
+
+Reference behavior (ref:alad/recall_auxiliary.py):
+  * the embedding buffers hold 5 caption rows per image and 5 duplicate image
+    rows; unique images are every 5th row (:14-15);
+  * i2t: for each unique image, the rank is the BEST rank among its 5
+    ground-truth captions in the descending score ordering (:34-46);
+  * t2i: for each caption, the rank of its image among unique images (:47-56);
+  * metrics: R@1/5/10 (% of ranks < K), medr = floor(median)+1,
+    meanr = mean+1 (:60-65);
+  * 5-fold 1k: the 5k set split into 5 consecutive 1k folds, metrics averaged
+    (:90-130).
+
+TPU-first: ranks are computed on device as count-of-strictly-greater
+(rank(q, gt) = #{j : S[q, j] > S[q, gt]}), which is argsort-free, O(N) per
+query, one fused kernel for all queries. This matches the reference's
+argsort positions everywhere except exact score ties (measure-zero with
+float embeddings; the reference resolves ties by buffer order).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+@functools.partial(jax.jit, static_argnames=("captions_per_image",))
+def rank_metrics(
+    img_embs: Array, cap_embs: Array, captions_per_image: int = 5
+) -> Tuple[Array, Array]:
+    """(i2t_ranks (N,), t2i_ranks (5N,)) from grouped global embeddings.
+
+    img_embs / cap_embs: (5N, D) buffers with the reference's 5-per-image
+    grouping; image rows are deduplicated internally.
+    """
+    k = captions_per_image
+    ims = img_embs[::k]  # (N, D) unique images
+    scores = jnp.matmul(ims, cap_embs.T, preferred_element_type=jnp.float32)  # (N, 5N)
+    n = ims.shape[0]
+
+    # i2t: best rank among the image's 5 GT captions.
+    gt_cols = jnp.arange(n)[:, None] * k + jnp.arange(k)[None, :]  # (N, 5)
+    gt_scores = jnp.take_along_axis(scores, gt_cols, axis=1)  # (N, 5)
+    # rank of col c for row q = #{j : S[q, j] > S[q, c]}
+    greater = (scores[:, None, :] > gt_scores[:, :, None]).sum(axis=2)  # (N, 5)
+    i2t_ranks = greater.min(axis=1)
+
+    # t2i: rank of image q//5 for each caption (columns of `scores`).
+    t_scores = scores.T  # (5N, N)
+    gt_img = jnp.arange(t_scores.shape[0]) // k
+    gt_s = jnp.take_along_axis(t_scores, gt_img[:, None], axis=1)  # (5N, 1)
+    t2i_ranks = (t_scores > gt_s).sum(axis=1)
+
+    return i2t_ranks, t2i_ranks
+
+
+def recall_metrics(ranks: np.ndarray) -> Dict[str, float]:
+    """R@K / medr / meanr from a rank array (ref:recall_auxiliary.py:60-65)."""
+    ranks = np.asarray(ranks)
+    return {
+        "r1": 100.0 * float((ranks < 1).sum()) / len(ranks),
+        "r5": 100.0 * float((ranks < 5).sum()) / len(ranks),
+        "r10": 100.0 * float((ranks < 10).sum()) / len(ranks),
+        "medr": float(np.floor(np.median(ranks)) + 1),
+        "meanr": float(ranks.mean() + 1),
+    }
+
+
+def compute_recall(img_embs, cap_embs, captions_per_image: int = 5) -> Dict[str, float]:
+    """Both directions + rsum (ref:recall_auxiliary.py:72-86,133-148)."""
+    i2t_ranks, t2i_ranks = rank_metrics(
+        jnp.asarray(img_embs), jnp.asarray(cap_embs), captions_per_image
+    )
+    m_i2t = recall_metrics(np.asarray(i2t_ranks))
+    m_t2i = recall_metrics(np.asarray(t2i_ranks))
+    out = {f"i2t_{k}": v for k, v in m_i2t.items()}
+    out.update({f"t2i_{k}": v for k, v in m_t2i.items()})
+    out["rsum"] = (
+        m_i2t["r1"] + m_i2t["r5"] + m_i2t["r10"] + m_t2i["r1"] + m_t2i["r5"] + m_t2i["r10"]
+    )
+    return out
+
+
+def recall_1k_5fold(img_embs, cap_embs, fold: int = 5000) -> Dict[str, float]:
+    """5 x 1k folds of the 5k test set, averaged (ref:recall_auxiliary.py:90-130)."""
+    keys = ("i2t_r1", "i2t_r5", "i2t_r10", "t2i_r1", "t2i_r5", "t2i_r10")
+    acc = {k: 0.0 for k in keys}
+    n_folds = len(img_embs) // fold
+    for i in range(n_folds):
+        m = compute_recall(img_embs[i * fold : (i + 1) * fold], cap_embs[i * fold : (i + 1) * fold])
+        for k in keys:
+            acc[k] += m[k]
+    out = {k: v / n_folds for k, v in acc.items()}
+    out["rsum"] = sum(out[k] for k in keys)
+    return out

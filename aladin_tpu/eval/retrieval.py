@@ -1,0 +1,144 @@
+"""Alignment-head retrieval evaluation (i2t / t2i) from a full score matrix.
+
+The reference loops per query, re-scoring chunks on GPU
+(ref:alad/evaluation.py:158-241 i2t, :244-327 t2i). Mathematically both
+directions read the SAME (N_unique_images, N_captions) alignment score
+matrix; here it is computed once - streamed/fused on TPU (Pallas kernel or
+XLA scan) and optionally sharded over a device mesh - and ranks for both
+directions are extracted from it. This halves the reference's work and turns
+its Python loop into one compiled program.
+
+Semantics preserved:
+  * i2t rank = best rank among the image's 5 GT captions
+    (ref:evaluation.py:217-223);
+  * t2i rank = rank of the GT image among unique images
+    (ref:evaluation.py:303-307);
+  * metrics + medr/meanr identical (ref:evaluation.py:231-235,316-320);
+  * optional NDCG via a DCG scorer consuming per-query sorted indices
+    (ref:evaluation.py:225-228,310-313).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from aladin_tpu.eval.recall import recall_metrics
+
+
+@functools.partial(jax.jit, static_argnames=("captions_per_image",))
+def _ranks_from_scores(scores: Array, captions_per_image: int = 5):
+    """scores: (N_unique_images, N_captions). Returns (i2t (N,), t2i (5N,))."""
+    k = captions_per_image
+    n = scores.shape[0]
+    gt_cols = jnp.arange(n)[:, None] * k + jnp.arange(k)[None, :]
+    gt_scores = jnp.take_along_axis(scores, gt_cols, axis=1)
+    i2t = (scores[:, None, :] > gt_scores[:, :, None]).sum(axis=2).min(axis=1)
+
+    t = scores.T  # (5N, N)
+    gt_img = jnp.arange(t.shape[0]) // k
+    gt_s = jnp.take_along_axis(t, gt_img[:, None], axis=1)
+    t2i = (t > gt_s).sum(axis=1)
+    return i2t, t2i
+
+
+def i2t_from_scores(
+    scores, captions_per_image: int = 5, ndcg_scorer=None, fold_index: int = 0
+) -> Dict[str, float]:
+    i2t, _ = _ranks_from_scores(jnp.asarray(scores), captions_per_image)
+    out = recall_metrics(np.asarray(i2t))
+    out["ndcg_rougel"], out["ndcg_spice"] = _ndcg(
+        scores, ndcg_scorer, fold_index, retrieval="sentence"
+    )
+    return out
+
+
+def t2i_from_scores(
+    scores, captions_per_image: int = 5, ndcg_scorer=None, fold_index: int = 0
+) -> Dict[str, float]:
+    _, t2i = _ranks_from_scores(jnp.asarray(scores), captions_per_image)
+    out = recall_metrics(np.asarray(t2i))
+    out["ndcg_rougel"], out["ndcg_spice"] = _ndcg(
+        scores, ndcg_scorer, fold_index, retrieval="image"
+    )
+    return out
+
+
+def _ndcg(scores, ndcg_scorer, fold_index: int, retrieval: str) -> Tuple[float, float]:
+    """Host-side NDCG over sorted indices, when a scorer is wired in.
+
+    The shipped reference constructs the scorer as None (SURVEY.md S2.6(11)),
+    returning zeros; we honor the same default but keep the machinery live.
+    """
+    if ndcg_scorer is None:
+        return 0.0, 0.0
+    s = np.asarray(scores)
+    rougel, spice = [], []
+    if retrieval == "sentence":
+        npts = s.shape[0]
+        for q in range(npts):
+            inds = np.argsort(s[q])[::-1]
+            vals = ndcg_scorer.compute_ndcg(npts, q, inds.astype(int), fold_index, "sentence")
+            r = list(vals.values())
+            rougel.append(r[0])
+            spice.append(r[1] if len(r) > 1 else 0.0)
+    else:
+        npts = s.shape[0]
+        st = s.T
+        for q in range(st.shape[0]):
+            inds = np.argsort(st[q])[::-1]
+            vals = ndcg_scorer.compute_ndcg(npts, q, inds.astype(int), fold_index, "image")
+            r = list(vals.values())
+            rougel.append(r[0])
+            spice.append(r[1] if len(r) > 1 else 0.0)
+    return float(np.mean(rougel)), float(np.mean(spice))
+
+
+def evaluate_alignment_head(
+    img_sets,
+    cap_seqs,
+    img_lens,
+    cap_lens,
+    aggregation: str = "MrSw",
+    captions_per_image: int = 5,
+    use_pallas: bool = True,
+    ndcg_scorer=None,
+    score_fn: Optional[Callable] = None,
+) -> Tuple[Dict[str, float], Dict[str, float], Array]:
+    """Full alignment-head eval: (i2t metrics, t2i metrics, score matrix).
+
+    img_sets: (5N, S_im, D) grouped buffers (duplicates deduped internally),
+    cap_seqs: (5N, S_s, D). Uses the fused Pallas MrSw kernel when
+    aggregation == 'MrSw' (unless disabled), the XLA blockwise scorer
+    otherwise; ``score_fn`` overrides both (e.g. a mesh-sharded scorer).
+    """
+    k = captions_per_image
+    ims = jnp.asarray(img_sets)[::k]
+    il = jnp.asarray(img_lens)[::k]
+    caps = jnp.asarray(cap_seqs)
+    cl = jnp.asarray(cap_lens)
+
+    if score_fn is not None:
+        scores = score_fn(ims, caps, il, cl)
+    elif aggregation == "MrSw" and use_pallas:
+        from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+
+        scores = mrsw_scores_pallas(ims, caps, il, cl)
+    else:
+        from aladin_tpu.ops.alignment import score_all_pairs
+
+        n_cap = caps.shape[0]
+        block = 256
+        pad = (-n_cap) % block
+        caps_p = jnp.pad(caps, ((0, pad), (0, 0), (0, 0)))
+        cl_p = jnp.pad(cl, (0, pad), constant_values=4)
+        scores = score_all_pairs(ims, caps_p, il, cl_p, aggregation, block)[:, :n_cap]
+
+    i2t = i2t_from_scores(scores, k, ndcg_scorer)
+    t2i = t2i_from_scores(scores, k, ndcg_scorer)
+    return i2t, t2i, scores

@@ -1,0 +1,115 @@
+"""Device mesh construction + corpus-sharded evaluation.
+
+The reference's only parallelism is torch DataParallel/DDP in legacy OSCAR
+scripts (SURVEY.md S2.5); the ALADIN trainer is single-GPU and eval chunks
+with Python loops. The TPU-native layout:
+
+  * training: 2-D mesh (dp, tp) - batch over dp, attention-head/MLP tensor
+    parallelism over tp; XLA inserts the all-reduces over ICI;
+  * evaluation: the retrieval corpus (the workload's "long axis",
+    SURVEY.md S5.7) shards over all devices - each device scores its caption
+    column block against replicated images; no collectives on the hot path,
+    one all-gather to assemble the (N_im, N_cap) matrix at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_shape(spec: str, n_devices: Optional[int] = None) -> Dict[str, int]:
+    """Parse "dp=4,tp=2" (one -1 axis absorbs remaining devices)."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    axes: Dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, val = part.strip().partition("=")
+        axes[name] = int(val) if val else -1
+    fill = [k for k, v in axes.items() if v == -1]
+    assert len(fill) <= 1, f"at most one -1 axis: {spec}"
+    fixed = int(np.prod([v for v in axes.values() if v != -1])) or 1
+    if fill:
+        assert n % fixed == 0, (n, fixed)
+        axes[fill[0]] = n // fixed
+    return axes
+
+
+def create_mesh(spec: str = "dp=-1", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    axes = parse_mesh_shape(spec, len(devices))
+    shape = tuple(axes.values())
+    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def _flat_axes(mesh: Mesh):
+    """All mesh axes as one logical shard axis for corpus sharding."""
+    return tuple(mesh.axis_names)
+
+
+def sharded_mrsw_scores(
+    mesh: Mesh,
+    im_set: Array,
+    s_seq: Array,
+    im_len: Array,
+    s_len: Array,
+    aggregation: str = "MrSw",
+    use_pallas: bool = True,
+) -> Array:
+    """(N_im, N_cap) alignment scores with the caption axis sharded over the
+    whole mesh. Images replicate; each device scores its caption block
+    locally (no collectives until the output is read)."""
+    n_dev = mesh.size
+    axes = _flat_axes(mesh)
+    n_cap = s_seq.shape[0]
+    pad = (-n_cap) % (n_dev * 128)
+    s_seq = jnp.pad(s_seq, ((0, pad), (0, 0), (0, 0)))
+    s_len = jnp.pad(s_len, (0, pad), constant_values=4)
+
+    rep = NamedSharding(mesh, P())
+    cap_sh = NamedSharding(mesh, P(axes))
+    im_set = jax.device_put(im_set, rep)
+    im_len = jax.device_put(im_len, rep)
+    s_seq = jax.device_put(s_seq, cap_sh)
+    s_len = jax.device_put(s_len, cap_sh)
+
+    @functools.partial(
+        jax.jit,
+        out_shardings=NamedSharding(mesh, P(None, axes)),
+        static_argnames=(),
+    )
+    def score(ims, caps, il, sl):
+        if aggregation == "MrSw" and use_pallas and jax.default_backend() == "tpu":
+            from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+
+            return mrsw_scores_pallas(ims, caps, il, sl)
+        from aladin_tpu.ops.alignment import score_all_pairs
+
+        return score_all_pairs(ims, caps, il, sl, aggregation, 128)
+
+    out = score(im_set, s_seq, im_len, s_len)
+    return out[:, :n_cap]
+
+
+def sharded_matching_scores(mesh: Mesh, img_glob: Array, cap_glob: Array) -> Array:
+    """(N_im, N_cap) global-embedding dot scores, caption axis sharded."""
+    axes = _flat_axes(mesh)
+    n_dev = mesh.size
+    n_cap = cap_glob.shape[0]
+    pad = (-n_cap) % n_dev
+    cap_glob = jnp.pad(cap_glob, ((0, pad), (0, 0)))
+    img_glob = jax.device_put(img_glob, NamedSharding(mesh, P()))
+    cap_glob = jax.device_put(cap_glob, NamedSharding(mesh, P(axes)))
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(None, axes)))
+    def score(a, b):
+        return jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+
+    return score(img_glob, cap_glob)[:, :n_cap]

@@ -1,0 +1,158 @@
+"""Data layer tests: tokenizer parity vs HuggingFace, TSV roundtrip,
+dataset/collate semantics on a synthetic on-disk fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aladin_tpu.config import DataArgs
+from aladin_tpu.data.dataset import (
+    DisentangledTensorizer,
+    RetrievalDataset,
+    make_synthetic_dataset,
+)
+from aladin_tpu.data.tokenizer import BertWordPieceTokenizer, load_vocab
+from aladin_tpu.data.tsv import TSVFile, decode_region_features, write_tsv
+
+VOCAB = (
+    "[PAD] [UNK] [CLS] [SEP] [MASK] a the of photo number dog cat car tree person "
+    "boat bird house un ##aff ##able runn ##ing 1 2 3 0 , . ! ? ' d ##og s ##now "
+    "snow ##ball ball play ##ed play ##s un ##b ##el ##ie ##v ##ab ##ly green "
+    "##1 ##2 ##3 ho ##use"
+).split()
+
+
+@pytest.fixture
+def vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    # dedup preserving order
+    seen, toks = set(), []
+    for t in VOCAB:
+        if t not in seen:
+            seen.add(t)
+            toks.append(t)
+    p.write_text("\n".join(toks) + "\n")
+    return str(p)
+
+
+def test_tokenizer_matches_hf(vocab_file):
+    from transformers import BertTokenizer
+
+    ours = BertWordPieceTokenizer(load_vocab(vocab_file))
+    hf = BertTokenizer(vocab_file, do_lower_case=True)
+    cases = [
+        "a photo of a dog",
+        "The DOG played snowball!",
+        "unaffable, runningly?? plays 123",
+        "  weird   spacing\tand\ncontrol\x00chars",
+        "café résumé naïve",  # accents strip to unknown pieces
+        "greenhouse",
+        "",
+        "a" * 150,  # > max_chars_per_word -> [UNK]
+    ]
+    for text in cases:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+        assert ours.encode(text) == hf.convert_tokens_to_ids(hf.tokenize(text)), text
+
+
+def test_tokenizer_int_zero_maps_to_unk(vocab_file):
+    """The reference image stream leads with the INTEGER 0 (a bug) which
+    pytorch_transformers maps to [UNK]; our converter must do the same."""
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ids = tok.convert_tokens_to_ids([0, "a", "[SEP]"])
+    assert ids[0] == tok.vocab["[UNK]"]
+
+
+def test_tsv_roundtrip(tmp_path):
+    path = str(tmp_path / "t.tsv")
+    feats = np.arange(12, dtype=np.float32).reshape(3, 4)
+    import base64
+
+    rows = [[1, 3, base64.b64encode(feats.tobytes()).decode()], [2, 1, "x"], [3, 2, "y"]]
+    write_tsv(path, rows)
+    t = TSVFile(path)
+    assert t.num_rows() == 3
+    row = t.seek(0)
+    assert row[0] == "1" and int(row[1]) == 3
+    got = decode_region_features(row[2], 3)
+    np.testing.assert_array_equal(got, feats)
+    assert t.seek(2)[0] == "3"
+    # lineidx regeneration path
+    os.remove(str(tmp_path / "t.lineidx"))
+    t2 = TSVFile(path)
+    assert t2.seek(1)[0] == "2"
+
+
+@pytest.fixture
+def synthetic_root(tmp_path):
+    root = str(tmp_path / "coco_ir")
+    make_synthetic_dataset(root, n_images=8, feat_dim=32, max_boxes=10)
+    return root
+
+
+def make_args(root, **kw):
+    d = dict(
+        data_dir=root,
+        img_feat_file=os.path.join(root, "features.tsv"),
+        max_seq_length=20,
+        max_img_seq_length=12,
+        img_feature_dim=32,
+        add_od_labels=True,
+    )
+    d.update(kw)
+    return DataArgs(**d)
+
+
+def test_dataset_and_collate(vocab_file, synthetic_root):
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ds = RetrievalDataset(tok, make_args(synthetic_root), "train", is_train=True)
+    assert len(ds) == 8 * 5
+    ex = ds.example(0)
+    # text stream: CLS ... SEP
+    assert ex.txt_ids[0] == tok.vocab["[CLS]"]
+    assert ex.txt_ids[ex.cap_len - 1] == tok.vocab["[SEP]"]
+    assert ex.txt_mask[: ex.cap_len].all() and not ex.txt_mask[ex.cap_len :].any()
+    # image stream: faithful [UNK] slot + od labels + SEP; segment ids 0,1,1...
+    assert ex.img_ids[0] == tok.vocab["[UNK]"]
+    assert ex.img_type[0] == 0 and ex.img_type[1] == 1
+    # mask layout: L text slots then R region slots
+    assert ex.img_mask.shape == (20 + 12,)
+    assert ex.img_mask[20 : 20 + ex.img_len].all()
+    assert ex.img_feats.shape == (12, 32)
+    assert not ex.img_feats[ex.img_len :].any()
+
+    batch = ds.collate(list(range(6)))
+    assert batch["txt_ids"].shape == (6, 20)
+    assert batch["img_feats"].shape == (6, 12, 32)
+    # same image for the first 5 entries (5 captions per image)
+    np.testing.assert_array_equal(batch["img_feats"][0], batch["img_feats"][4])
+    assert (batch["img_feats"][0] != batch["img_feats"][5]).any()
+
+
+def test_eval_subset(vocab_file, synthetic_root):
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    with open(os.path.join(synthetic_root, "subset.tsv"), "w") as f:
+        f.write("100\n102\n")
+    ds = RetrievalDataset(
+        tok, make_args(synthetic_root, eval_img_keys_file="subset.tsv"), "test", is_train=False
+    )
+    assert ds.img_keys == [100, 102]
+    assert len(ds) == 10
+
+
+def test_pipeline_prefetch(vocab_file, synthetic_root):
+    from aladin_tpu.data.pipeline import BatchLoader
+
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ds = RetrievalDataset(tok, make_args(synthetic_root), "train", is_train=True)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(ds) // 8
+    b = batches[0]
+    assert b.txt_ids.shape == (8, 20)
+    assert b.img_feats.shape == (8, 12, 32)
+    # shuffling differs across epochs
+    b2 = next(iter(loader.epoch(1)))
+    assert (np.asarray(b.txt_ids) != np.asarray(b2.txt_ids)).any()

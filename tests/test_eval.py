@@ -1,0 +1,143 @@
+"""Evaluation engine tests: device-side ranks vs a numpy argsort oracle that
+replicates the reference's rank computation exactly, 5-fold protocol, the
+alignment-head evaluator, and corpus-sharded scoring on the 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aladin_tpu.eval.recall import compute_recall, rank_metrics, recall_1k_5fold, recall_metrics
+from aladin_tpu.eval.retrieval import evaluate_alignment_head, i2t_from_scores, t2i_from_scores
+from aladin_tpu.ops.alignment import alignment_scores
+
+
+def oracle_ranks(img_embs, cap_embs, k=5):
+    """Reference semantics via argsort (ref:alad/recall_auxiliary.py:29-56)."""
+    ims = img_embs[::k]
+    d = ims @ cap_embs.T
+    n = ims.shape[0]
+    i2t = np.zeros(n)
+    for q in range(n):
+        inds = np.argsort(d[q])[::-1]
+        i2t[q] = min(np.where(inds == i)[0][0] for i in range(k * q, k * q + k))
+    t2i = np.zeros(n * k)
+    dt = d.T
+    for c in range(n * k):
+        inds = np.argsort(dt[c])[::-1]
+        t2i[c] = np.where(inds == c // k)[0][0]
+    return i2t, t2i
+
+
+def grouped_embeddings(rng, n=12, d=16, k=5):
+    """5-per-image grouped buffers with duplicate image rows."""
+    img_unique = rng.randn(n, d).astype(np.float32)
+    img = np.repeat(img_unique, k, axis=0)
+    cap = np.repeat(img_unique, k, axis=0) + 0.5 * rng.randn(n * k, d).astype(np.float32)
+    return img, cap
+
+
+def test_ranks_match_argsort_oracle(rng):
+    img, cap = grouped_embeddings(rng)
+    i2t, t2i = rank_metrics(jnp.array(img), jnp.array(cap))
+    oi, ot = oracle_ranks(img, cap)
+    np.testing.assert_array_equal(np.asarray(i2t), oi)
+    np.testing.assert_array_equal(np.asarray(t2i), ot)
+
+
+def test_recall_metrics_formulas():
+    ranks = np.array([0, 0, 4, 9, 20])
+    m = recall_metrics(ranks)
+    assert m["r1"] == 40.0
+    assert m["r5"] == 60.0
+    assert m["r10"] == 80.0
+    assert m["medr"] == np.floor(np.median(ranks)) + 1
+    assert abs(m["meanr"] - (ranks.mean() + 1)) < 1e-9
+
+
+def test_compute_recall_perfect_case(rng):
+    # captions exactly equal to their image embedding -> r1 can't miss i2t
+    img_unique = np.eye(8, dtype=np.float32)
+    img = np.repeat(img_unique, 5, axis=0)
+    cap = img.copy()
+    m = compute_recall(img, cap)
+    assert m["i2t_r1"] == 100.0
+    assert m["t2i_r1"] == 100.0
+    assert m["rsum"] == 600.0
+
+
+def test_5fold_protocol(rng):
+    img, cap = grouped_embeddings(rng, n=8)
+    # fold = one 8-image chunk -> same as compute_recall
+    m1 = recall_1k_5fold(img, cap, fold=len(img))
+    m2 = compute_recall(img, cap)
+    for k in ("i2t_r1", "t2i_r10", "rsum"):
+        assert abs(m1[k] - m2[k]) < 1e-9
+
+
+def test_alignment_head_eval_consistency(rng):
+    """Dense alignment_scores and the streaming evaluator agree on metrics."""
+    n, k, r, w, d = 6, 5, 7, 9, 16
+    img_sets = np.repeat(rng.randn(n, r, d).astype(np.float32), k, axis=0)
+    cap_seqs = rng.randn(n * k, w, d).astype(np.float32)
+    img_lens = np.repeat(rng.randint(3, r + 1, n), k).astype(np.int32)
+    cap_lens = rng.randint(4, w + 1, n * k).astype(np.int32)
+
+    i2t, t2i, scores = evaluate_alignment_head(
+        img_sets, cap_seqs, img_lens, cap_lens, use_pallas=False
+    )
+    dense = alignment_scores(
+        jnp.array(img_sets[::k]), jnp.array(cap_seqs),
+        jnp.array(img_lens[::k]), jnp.array(cap_lens), "MrSw",
+    )
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(dense), rtol=1e-4, atol=1e-5)
+    assert 0 <= i2t["r1"] <= 100 and 0 <= t2i["r10"] <= 100
+
+
+def test_i2t_t2i_from_scores_orientation():
+    # image 0 prefers caption group 0 etc. -> perfect retrieval both ways
+    n, k = 4, 5
+    scores = np.full((n, n * k), -1.0, np.float32)
+    for i in range(n):
+        scores[i, i * k : (i + 1) * k] = 1.0
+    assert i2t_from_scores(scores)["r1"] == 100.0
+    assert t2i_from_scores(scores)["r1"] == 100.0
+
+
+def test_sharded_scores_match_local(rng):
+    from aladin_tpu.parallel.mesh import create_mesh, sharded_matching_scores, sharded_mrsw_scores
+
+    mesh = create_mesh("dp=-1")
+    assert mesh.size == 8
+    n, m, r, w, d = 8, 40, 6, 9, 16
+    ims = rng.randn(n, r, d).astype(np.float32)
+    caps = rng.randn(m, w, d).astype(np.float32)
+    il = rng.randint(3, r + 1, n).astype(np.int32)
+    sl = rng.randint(4, w + 1, m).astype(np.int32)
+
+    sharded = sharded_mrsw_scores(mesh, jnp.array(ims), jnp.array(caps),
+                                  jnp.array(il), jnp.array(sl), use_pallas=False)
+    local = alignment_scores(jnp.array(ims), jnp.array(caps), jnp.array(il), jnp.array(sl))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local), rtol=1e-4, atol=1e-5)
+
+    g1 = rng.randn(6, d).astype(np.float32)
+    g2 = rng.randn(21, d).astype(np.float32)
+    got = sharded_matching_scores(mesh, jnp.array(g1), jnp.array(g2))
+    np.testing.assert_allclose(np.asarray(got), g1 @ g2.T, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_interpret_parity(rng):
+    """The fused kernel (interpret mode on CPU) matches the trusted path."""
+    from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+
+    im = rng.randn(10, 12, 32).astype(np.float32)
+    ss = rng.randn(23, 14, 32).astype(np.float32)
+    il = rng.randint(2, 13, 10).astype(np.int32)
+    sl = rng.randint(4, 15, 23).astype(np.int32)
+    ref = alignment_scores(jnp.array(im), jnp.array(ss), jnp.array(il), jnp.array(sl))
+    got = mrsw_scores_pallas(
+        jnp.array(im), jnp.array(ss), jnp.array(il), jnp.array(sl),
+        interpret=True, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
