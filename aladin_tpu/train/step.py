@@ -1,0 +1,123 @@
+"""The jitted training step: forward, loss composition, update.
+
+Loss composition contract (ref:alad/alad_model.py:371-454 forward_loss /
+forward):
+  * the matching score matrix is ALWAYS computed (the reference's
+    always-truthy condition, SURVEY.md S2.6(2) - and distillation needs it);
+  * the alignment head runs when 'alignment' or 'distillation' is active;
+    its score matrix is the in-model teacher, gradient-stopped before
+    distillation (ref:alad/loss.py:370);
+  * 'selfaggregation' contributes the matching loss under its own key
+    (ref:alad_model.py:397-402);
+  * the distillation term is gated off while epoch < distill_epoch, unless
+    it is the ONLY loss (ref:alad_model.py:442-444);
+  * fixed weights: total = sum w_k L_k; auto: 0.5 * sum(L_k e^{-s_k} + s_k)
+    (ref:alad_model.py:445-453) with genuinely learnable s_k.
+
+One jitted function serves single-chip and mesh runs: under a mesh, place
+the state (replicated / tp-sharded params) and the dp-sharded batch before
+calling - XLA's SPMD partitioner propagates the layout and emits the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aladin_tpu.config import ExperimentConfig
+from aladin_tpu.models.aladin import ALADIN, Batch
+from aladin_tpu.ops import losses as L
+from aladin_tpu.train.state import TrainState
+
+
+def make_loss_fn(model: ALADIN, cfg: ExperimentConfig) -> Callable:
+    tc = cfg.training
+    types = tc.loss_types
+
+    def loss_fn(params, batch: Batch, epoch, rng):
+        out = model.apply(
+            {"params": params["model"]}, batch, False, rngs={"dropout": rng}
+        )
+        aux = params["aux"]
+        terms: Dict[str, jax.Array] = {}
+
+        matching_loss, matching_mat = L.matching_loss(
+            out.img_global, out.cap_global, tc.margin, tc.measure, tc.max_violation
+        )
+        if "matching" in types:
+            terms["matching"] = matching_loss
+
+        teacher = None
+        if "alignment" in types or "distillation" in types:
+            alignment_loss, teacher = L.alignment_contrastive_loss(
+                out.img_set, out.cap_seq, out.img_len, out.cap_len,
+                tc.margin, tc.max_violation, tc.alignment_mode, normalized=True,
+            )
+            if "alignment" in types:
+                terms["alignment"] = alignment_loss
+
+        if "selfaggregation" in types:
+            terms["selfaggregation"] = matching_loss
+
+        if "distillation" in types:
+            terms["distillation"] = L.distillation_loss(
+                jax.lax.stop_gradient(teacher), matching_mat, tc.distillation_mode,
+                wb=aux.get("distill_wb"), margin=tc.margin,
+            )
+
+        if "entropy" in types:
+            terms["entropy"] = L.entropy_uniformity_loss(out.img_global, out.cap_global)
+
+        if "regularizehidden" in types:
+            terms["regularizehidden"] = out.l1_reg
+
+        # distillation epoch gate (only when it is not the sole loss)
+        gates = {k: jnp.float32(1.0) for k in terms}
+        if "distillation" in terms and len(terms) > 1:
+            gates["distillation"] = (epoch >= tc.activate_distillation_after).astype(jnp.float32)
+
+        total = jnp.float32(0.0)
+        for k, v in terms.items():
+            if tc.auto_weight:
+                s = aux["loss_weights"][k].squeeze()
+                total = total + gates[k] * 0.5 * (v * jnp.exp(-s) + s)
+            else:
+                total = total + gates[k] * tc.weight_for(k) * v
+
+        metrics = {f"{k}_loss": v for k, v in terms.items()}
+        metrics["loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(model: ALADIN, cfg: ExperimentConfig):
+    """Returns jitted (state, batch, epoch, rng) -> (state, metrics)."""
+    loss_fn = make_loss_fn(model, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch, epoch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, epoch, rng)
+        new_state = state.apply_gradients(grads)
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: ALADIN):
+    """Jitted deterministic forward -> AladinOutputs (encode_data's engine)."""
+
+    @jax.jit
+    def eval_step(model_params, batch: Batch):
+        return model.apply({"params": model_params}, batch, True)
+
+    return eval_step
