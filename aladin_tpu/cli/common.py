@@ -1,0 +1,145 @@
+"""Shared CLI plumbing: flags, model/state construction, data wiring."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aladin_tpu.config import DataArgs, ExperimentConfig, load_config
+from aladin_tpu.data.dataset import RetrievalDataset, make_synthetic_dataset
+from aladin_tpu.data.pipeline import BatchLoader
+from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
+from aladin_tpu.models.aladin import ALADIN
+from aladin_tpu.models.bert_img import BertImgConfig
+from aladin_tpu.train.state import create_train_state
+
+
+def add_shared_flags(p: argparse.ArgumentParser) -> None:
+    """The flag surface the reference exposes (ref:alad/train.py:40-168),
+    minus legacy OSCAR-task flags the ALADIN pipeline never reads."""
+    p.add_argument("--data_dir", default="datasets/coco_ir")
+    p.add_argument("--img_feat_file", default="datasets/coco_ir/features.tsv")
+    p.add_argument("--eval_model_dir", default="", help="OSCAR/VinVL checkpoint dir (backbone + vocab)")
+    p.add_argument("--output_dir", default="output/")
+    p.add_argument("--logger_name", default="runs/runX")
+    p.add_argument("--max_seq_length", type=int, default=70)
+    p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--img_feature_dim", type=int, default=2054)
+    p.add_argument("--img_feature_type", default="frcnn")
+    p.add_argument("--use_img_layernorm", type=int, default=1)
+    p.add_argument("--img_layer_norm_eps", type=float, default=1e-12)
+    p.add_argument("--add_od_labels", action="store_true", default=False)
+    p.add_argument("--od_label_type", default="vg")
+    p.add_argument("--att_mask_type", default="CLR")
+    p.add_argument("--do_lower_case", action="store_true", default=True)
+    p.add_argument("--num_captions_per_img_train", type=int, default=5)
+    p.add_argument("--num_captions_per_img_val", type=int, default=5)
+    p.add_argument("--eval_img_keys_file", default="")
+    p.add_argument("--eval_caption_index_file", default="")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=88)
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--log_step", type=int, default=10)
+    p.add_argument("--val_step", type=int, default=500)
+    p.add_argument("--resume", default="")
+    p.add_argument("--load-teacher-model", dest="load_teacher_model", default="")
+    p.add_argument("--reinitialize-scheduler", dest="reinitialize_scheduler", action="store_true")
+    p.add_argument("--config", default="")
+    p.add_argument("--mesh_shape", default="dp=-1")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--synthetic", action="store_true",
+                   help="build a tiny on-disk synthetic dataset + random backbone (no COCO/ckpt needed)")
+
+
+def to_data_args(ns: argparse.Namespace) -> DataArgs:
+    keep = {f.name for f in dataclasses.fields(DataArgs)}
+    return DataArgs(**{k: v for k, v in vars(ns).items() if k in keep})
+
+
+def restore_training_settings(args: DataArgs) -> DataArgs:
+    """Override flags from the OSCAR checkpoint's training_args.bin
+    (ref:alad/train.py:534-550; do_lower_case, img_feature_type,
+    add_od_labels, od_label_type, use_img_layernorm, img_layer_norm_eps)."""
+    bin_path = os.path.join(args.eval_model_dir, "training_args.bin")
+    if not (args.eval_model_dir and os.path.exists(bin_path)):
+        return args
+    import torch
+
+    train_args = torch.load(bin_path, map_location="cpu", weights_only=False)
+    for param in ("do_lower_case", "img_feature_type", "add_od_labels",
+                  "od_label_type", "use_img_layernorm", "img_layer_norm_eps"):
+        if hasattr(train_args, param):
+            setattr(args, param, getattr(train_args, param))
+    return args
+
+
+def build_model_and_params(
+    cfg: ExperimentConfig, args: DataArgs, example_batch, rng=None
+) -> Tuple[ALADIN, dict, BertImgConfig]:
+    """Model + params: heads randomly initialized, backbone grafted from the
+    OSCAR checkpoint dir when given (ref:alad/alad_model.py:38-43)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(args.seed)
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    if args.eval_model_dir and os.path.isdir(args.eval_model_dir):
+        from aladin_tpu.io.convert import load_oscar_checkpoint
+
+        tree, bert_cfg = load_oscar_checkpoint(args.eval_model_dir)
+        model = ALADIN(cfg, bert_cfg, dtype=dtype)
+        params = model.init(rng, example_batch, True)["params"]
+        params["oscar"] = jax.tree.map(jnp.asarray, tree["oscar"])
+    else:
+        bert_cfg = BertImgConfig(img_feature_dim=args.img_feature_dim)
+        if args.synthetic:  # tiny backbone for smoke runs
+            bert_cfg = BertImgConfig(
+                vocab_size=512, hidden_size=cfg.model.embed_size,
+                num_hidden_layers=2, num_attention_heads=4,
+                intermediate_size=2 * cfg.model.embed_size,
+                max_position_embeddings=128, img_feature_dim=args.img_feature_dim,
+            )
+        model = ALADIN(cfg, bert_cfg, dtype=dtype)
+        params = model.init(rng, example_batch, True)["params"]
+    return model, params, bert_cfg
+
+
+def build_tokenizer(args: DataArgs):
+    if args.eval_model_dir and os.path.isdir(args.eval_model_dir):
+        return BertWordPieceTokenizer.from_pretrained(
+            args.eval_model_dir, do_lower_case=args.do_lower_case
+        )
+    # synthetic fallback vocab
+    base = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    words = ["a", "photo", "of", "the", "dog", "cat", "car", "tree", "person",
+             "boat", "bird", "house", "number"] + [str(i) for i in range(10)]
+    vocab = {t: i for i, t in enumerate(base + words)}
+    return BertWordPieceTokenizer(vocab, do_lower_case=True)
+
+
+def build_loaders(tokenizer, args: DataArgs, cfg: ExperimentConfig,
+                  train_split="train", val_split="minival"):
+    bs = cfg.training.bs
+    train_ds = RetrievalDataset(tokenizer, args, train_split, is_train=True)
+    # NOTE: reference builds the val set with is_train=True (S2.6(10))
+    val_ds = RetrievalDataset(tokenizer, args, val_split, is_train=True)
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, seed=args.seed)
+    val_loader = BatchLoader(val_ds, bs, shuffle=False, drop_last=False)
+    return train_loader, val_loader
+
+
+def prepare_synthetic(args: DataArgs, n_images: int = 8) -> DataArgs:
+    root = os.path.join(args.output_dir, "synthetic_coco_ir")
+    make_synthetic_dataset(root, n_images=n_images, feat_dim=args.img_feature_dim)
+    args.data_dir = root
+    args.img_feat_file = os.path.join(root, "features.tsv")
+    args.add_od_labels = True
+    return args
+
+
+def example_batch_from_loader(loader):
+    return next(iter(loader.epoch(0)))

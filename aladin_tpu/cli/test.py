@@ -1,0 +1,105 @@
+"""Evaluation CLI - the ``alad/test.py`` equivalent.
+
+Loads a framework checkpoint (``--load_checkpoint <dir>``; the experiment
+config is embedded, ref:alad/test.py:164-171), forces both heads to be
+evaluated (ref:test.py:180-181), builds the test split (1k via
+``--eval_img_keys_file test_img_keys_1k.tsv``, 5k via ``test_img_keys.tsv``,
+ref:README.md:88-94), and reports matching-head + alignment-head R@K.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from aladin_tpu.cli.common import (
+    add_shared_flags,
+    build_model_and_params,
+    build_tokenizer,
+    example_batch_from_loader,
+    prepare_synthetic,
+    restore_training_settings,
+    to_data_args,
+)
+from aladin_tpu.config import ExperimentConfig, load_config
+from aladin_tpu.data.dataset import RetrievalDataset
+from aladin_tpu.data.pipeline import BatchLoader
+from aladin_tpu.eval.encode import encode_data
+from aladin_tpu.eval.recall import compute_recall, recall_1k_5fold
+from aladin_tpu.eval.retrieval import evaluate_alignment_head
+from aladin_tpu.io.checkpoint import load_checkpoint
+from aladin_tpu.train.state import create_train_state
+from aladin_tpu.train.step import make_eval_step
+from aladin_tpu.utils.logging import setup_logger
+
+import jax
+import numpy as np
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="ALADIN-TPU evaluation")
+    add_shared_flags(parser)
+    parser.add_argument("--load_checkpoint", default="", help="framework checkpoint dir")
+    parser.add_argument("--test_split", default="test")
+    parser.add_argument("--fivefold", action="store_true",
+                        help="5 x 1k-fold protocol over the 5k set")
+    ns = parser.parse_args(argv)
+    args = to_data_args(ns)
+    logger = setup_logger("vlpretrain", args.logger_name)
+
+    cfg_dict = None
+    payload = None
+    if ns.load_checkpoint:
+        payload, cfg_dict = load_checkpoint(ns.load_checkpoint)
+    if cfg_dict:
+        cfg = ExperimentConfig.from_dict(cfg_dict)
+    else:
+        assert ns.config, "need --config when the checkpoint has no embedded config"
+        cfg = load_config(ns.config)
+    # evaluate BOTH heads regardless of the training loss (ref:test.py:180-181)
+    d = cfg.to_dict()
+    d["training"]["loss-type"] = "alignment-distillation"
+    cfg = ExperimentConfig.from_dict(d)
+
+    if args.synthetic:
+        args = prepare_synthetic(args)
+    args = restore_training_settings(args)
+
+    tokenizer = build_tokenizer(args)
+    test_ds = RetrievalDataset(tokenizer, args, ns.test_split, is_train=False)
+    loader = BatchLoader(test_ds, cfg.training.bs, shuffle=False, drop_last=False)
+    logger.info(f"test set: {len(test_ds.img_keys)} images / {len(test_ds)} captions")
+
+    example = example_batch_from_loader(loader)
+    model, params, _ = build_model_and_params(cfg, args, example)
+    if payload is not None:
+        params = jax.tree.map(
+            lambda _, v: jax.numpy.asarray(v), params, payload["params"]["model"]
+        )
+
+    eval_step = make_eval_step(model)
+    img_embs, cap_embs, img_lens, cap_lens = encode_data(eval_step, params, loader, logger=logger)
+
+    logger.info("Matching head:")
+    if ns.fivefold:
+        m = recall_1k_5fold(img_embs[:, 0, :], cap_embs[:, 0, :])
+    else:
+        m = compute_recall(img_embs[:, 0, :], cap_embs[:, 0, :])
+    logger.info(str({k: round(v, 2) for k, v in m.items()}))
+
+    logger.info("Alignment head:")
+    i2t, t2i, _ = evaluate_alignment_head(
+        img_embs, cap_embs, img_lens, cap_lens,
+        aggregation=cfg.training.alignment_mode,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    rsum = i2t["r1"] + i2t["r5"] + i2t["r10"] + t2i["r1"] + t2i["r5"] + t2i["r10"]
+    logger.info(
+        "Alignment i2t %.1f/%.1f/%.1f (medr %.0f) t2i %.1f/%.1f/%.1f (medr %.0f) rsum %.1f"
+        % (i2t["r1"], i2t["r5"], i2t["r10"], i2t["medr"],
+           t2i["r1"], t2i["r5"], t2i["r10"], t2i["medr"], rsum)
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -263,3 +263,4 @@ class DataArgs:
     # TPU-native additions
     mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = all remaining devices
     compute_dtype: str = "bfloat16"
+    synthetic: bool = False  # tiny on-disk dataset + random small backbone

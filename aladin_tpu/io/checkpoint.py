@@ -1,0 +1,123 @@
+"""Checkpoint save/restore (orbax) with the reference's logical contents.
+
+Reference format (ref:alad/train.py:329-337,552-557): a dict {epoch, model,
+optimizer, scheduler, opt(args), config, Eiters} written as
+``checkpoint.pth.tar`` every val_step, copied to ``model_best_rsum.pth.tar``
+on a new best rsum. Resume restores model+optimizer+scheduler+Eiters+epoch
+(ref:train.py:278-297); ``--load-teacher-model`` restores weights only,
+non-strict (ref:train.py:283).
+
+Here: orbax PyTree checkpoints under ``<dir>/checkpoint`` and
+``<dir>/model_best_rsum`` holding {params, opt_state, step, epoch, config,
+best_rsum}; the scheduler needs no state (it is a pure function of step).
+Teacher loading merges overlapping subtrees non-strictly. PyTorch-side
+inputs (OSCAR dirs, ALADIN .pth.tar) are converted by io/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    out_dir: str,
+    state,
+    epoch: int,
+    config_dict: Dict[str, Any],
+    best_rsum: float,
+    is_best_rsum: bool = False,
+    name: str = "checkpoint",
+) -> str:
+    """Write <out_dir>/<name>; copy to model_best_rsum on best."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(out_dir, name))
+    payload = {
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "best_rsum": float(best_rsum),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    import json
+
+    with open(os.path.join(path, "experiment_config.json"), "w") as f:
+        json.dump(config_dict, f, indent=2, default=str)
+    if is_best_rsum:
+        best = os.path.join(out_dir, "model_best_rsum")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (payload dict, embedded experiment config dict)."""
+    import json
+
+    path = os.path.abspath(path)
+    payload = ocp.PyTreeCheckpointer().restore(path)
+    cfg_file = os.path.join(path, "experiment_config.json")
+    config = {}
+    if os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            config = json.load(f)
+    return payload, config
+
+
+def resume_state(state, path: str):
+    """Full resume: params + optimizer state + step (ref:train.py:287-297).
+    Returns (state, start_epoch, best_rsum)."""
+    payload, _ = load_checkpoint(path)
+    restored = state.replace(
+        params=jax.tree.map(lambda _, v: v, state.params, payload["params"]),
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree.leaves(payload["opt_state"]),
+        ),
+        step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
+    )
+    return restored, int(payload["epoch"]), float(payload.get("best_rsum", 0.0))
+
+
+def merge_params_non_strict(target: Any, source: Any) -> Any:
+    """Teacher-model load: copy every leaf present in both trees with a
+    matching shape; keep the target elsewhere (torch load_state_dict
+    strict=False semantics, ref:train.py:283)."""
+
+    def merge(dst, src):
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if isinstance(src, dict) and k in src:
+                    out[k] = merge(v, src[k])
+                else:
+                    out[k] = v
+            return out
+        if src is None or not hasattr(src, "shape"):
+            return dst
+        if tuple(np.shape(src)) == tuple(np.shape(dst)):
+            return np.asarray(src).astype(np.asarray(dst).dtype)
+        return dst
+
+    return merge(target, source)
+
+
+def load_teacher_params(state, path: str):
+    """Weights-only, non-strict load into an existing state."""
+    payload, _ = load_checkpoint(path)
+    merged = merge_params_non_strict(jax.tree.map(np.asarray, state.params), payload["params"])
+    return state.replace(params=jax.tree.map(jax.numpy.asarray, merged))

@@ -47,11 +47,20 @@ from aladin_tpu.ops.masking import valid_mask
 from aladin_tpu.ops.similarity import l2norm
 
 
-def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, w48: int, bcc: int):
+def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, r8: int, w48: int, bcc: int,
+                 acc_dtype=jnp.float32):
+    lanes = bcc * w48
     align = jnp.dot(img_ref[:], cap_ref[:], preferred_element_type=jnp.float32)
-    m = align.reshape(bi, r, bcc * w48).max(axis=1)  # (BI, BCC*W48)
-    row = jax.lax.broadcasted_iota(jnp.int32, (bcc * w48, bcc), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bcc * w48, bcc), 1)
+    if acc_dtype != jnp.float32:  # store the tile narrow; f32 MXU accumulation
+        align = align.astype(acc_dtype)
+    # Split rows into per-image groups of r8 (a multiple of 8 = sublane tile):
+    # tile-aligned, so the reshape is free - no VMEM relayout copy. Rows
+    # [r, r8) are pure layout padding; unlike the [img_len-1, r) zeros (the
+    # reference's floor) they must NOT join the max, so reduce a row slice.
+    a3 = align.reshape(bi, r8, lanes)
+    m = a3[:, :r, :].max(axis=1).astype(jnp.float32)  # (BI, BCC*W48)
+    row = jax.lax.broadcasted_iota(jnp.int32, (lanes, bcc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (lanes, bcc), 1)
     sel = ((row // w48) == col).astype(jnp.float32)  # static block-diagonal
     # (BCC, BI) = sel^T-contract: sel (BCC*W48, BCC) x m (BI, BCC*W48)
     out_ref[:] = jax.lax.dot_general(
@@ -61,7 +70,7 @@ def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, w48: int, bcc: i
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_imgs", "block_caps", "interpret", "compute_dtype"),
+    static_argnames=("block_imgs", "block_caps", "interpret", "compute_dtype", "acc_dtype"),
 )
 def mrsw_scores_pallas(
     im_set: Array,
@@ -70,9 +79,10 @@ def mrsw_scores_pallas(
     s_len: Array,
     *,
     block_imgs: int = 128,
-    block_caps: int = 8,
+    block_caps: int = 16,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    acc_dtype=jnp.float32,
 ) -> Array:
     """(N_im, N_cap) MrSw alignment scores, fused on-chip.
 
@@ -88,31 +98,34 @@ def mrsw_scores_pallas(
     n_im, r, d = im_set.shape
     n_cap, w, _ = s_seq.shape
     w48 = -(-w // 16) * 16  # pad words to a multiple of 16
+    r8 = -(-r // 8) * 8  # pad regions to a sublane-tile multiple
     assert block_imgs % 128 == 0, block_imgs
     assert (block_caps * w48) % 128 == 0, (block_caps, w48)
-    assert (block_imgs * r) % 8 == 0
 
     # Pre-zero padded regions AND padded words (see module docstring), pad
-    # the corpus axes to tile multiples.
+    # the corpus axes to tile multiples and the region axis to r8.
     im_set = jnp.where(valid_mask(im_len, r)[:, :, None], im_set, 0.0)
     s_seq = jnp.where(valid_mask(s_len, w)[:, :, None], s_seq, 0.0)
     pad_i = (-n_im) % block_imgs
     pad_c = (-n_cap) % block_caps
-    im_set = jnp.pad(im_set, ((0, pad_i), (0, 0), (0, 0)))
+    im_set = jnp.pad(im_set, ((0, pad_i), (0, r8 - r), (0, 0)))
     s_seq = jnp.pad(s_seq, ((0, pad_c), (0, w48 - w), (0, 0)))
     ni, nc = n_im + pad_i, n_cap + pad_c
 
-    imgs_flat = im_set.reshape(ni * r, d).astype(compute_dtype)
+    imgs_flat = im_set.reshape(ni * r8, d).astype(compute_dtype)
     caps_t = s_seq.reshape(nc * w48, d).T.astype(compute_dtype)  # (D, NC*W48)
 
     grid = (ni // block_imgs, nc // block_caps)
-    kernel = functools.partial(_mrsw_kernel, bi=block_imgs, r=r, w48=w48, bcc=block_caps)
-    flops = 2 * ni * r * d * nc * w48
+    kernel = functools.partial(
+        _mrsw_kernel, bi=block_imgs, r=r, r8=r8, w48=w48, bcc=block_caps,
+        acc_dtype=acc_dtype,
+    )
+    flops = 2 * ni * r8 * d * nc * w48
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_imgs * r, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_imgs * r8, d), lambda i, j: (i, 0)),
             pl.BlockSpec((d, block_caps * w48), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_caps, block_imgs), lambda i, j: (j, i)),

@@ -1,0 +1,165 @@
+"""The training orchestrator: epochs, in-loop validation, checkpointing.
+
+Mirrors the reference driver (ref:alad/train.py:304-337 main loop, :388-471
+train, :473-532 validate):
+
+  * per-step: train_step, meters (batch/data time), tensorboard scalars
+    {epoch, step, batch_time, data_time, lr} + loss meters, log every
+    log_step (Eiters is the global x-axis);
+  * every val_step and at epoch end: validate - encode the minival split,
+    matching-head recall always, alignment-head i2t/t2i when the loss type
+    includes 'alignment'; rsum = matching rsum (+ alignment rsum), gates the
+    best checkpoint (ref:train.py:478-530);
+  * checkpoint each validation + epoch with copy-on-best
+    (ref:train.py:552-557).
+
+The validation dataset replicates the reference's quirk of being built with
+is_train=True (eval subset file bypassed, SURVEY.md S2.6(10)).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aladin_tpu.config import DataArgs, ExperimentConfig
+from aladin_tpu.eval.encode import encode_data
+from aladin_tpu.eval.recall import compute_recall
+from aladin_tpu.eval.retrieval import evaluate_alignment_head
+from aladin_tpu.io.checkpoint import save_checkpoint
+from aladin_tpu.train.schedule import make_lr_schedule
+from aladin_tpu.train.step import make_eval_step, make_train_step
+from aladin_tpu.utils.logging import AverageMeter, LogCollector, make_tb_writer, setup_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        args: DataArgs,
+        model,
+        state,
+        train_loader,
+        val_loader,
+        ndcg_scorer=None,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.cfg = cfg
+        self.args = args
+        self.model = model
+        self.state = state
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.ndcg_scorer = ndcg_scorer
+        self.use_pallas = (
+            use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
+        )
+
+        self.train_step = make_train_step(model, cfg)
+        self.eval_step = make_eval_step(model)
+        self.lr_schedule = make_lr_schedule(cfg.training, max(len(train_loader), 1))
+        self.logger = setup_logger("vlpretrain", args.logger_name)
+        self.tb = make_tb_writer(args.logger_name)
+        self.best_rsum = -1.0
+        self.rng = jax.random.PRNGKey(args.seed)
+
+    # ------------------------------------------------------------------
+    def fit(self, start_epoch: int = 0):
+        for epoch in range(start_epoch, self.args.num_epochs):
+            self.train_epoch(epoch)
+            rsum = self.validate()
+            self._checkpoint(epoch, rsum)
+        return self.state
+
+    def train_epoch(self, epoch: int):
+        batch_time, data_time = AverageMeter(), AverageMeter()
+        collector = LogCollector()
+        end = time.time()
+        epoch_dev = jnp.int32(epoch)
+        for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            data_time.update(time.time() - end)
+            self.state, metrics = self.train_step(self.state, batch, epoch_dev, self.rng)
+            step = int(self.state.step)
+            loss = float(metrics["loss"])
+            collector.update("loss", loss, n=1)
+            for k, v in metrics.items():
+                if k != "loss":
+                    collector.update(k, float(v), n=1)
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            if step % self.args.log_step == 0:
+                self.logger.info(
+                    f"Epoch: [{epoch}][{i}/{len(self.train_loader)}]\t{collector}\t"
+                    f"Time {batch_time}\tData {data_time}"
+                )
+            self.tb.add_scalar("epoch", epoch, step)
+            self.tb.add_scalar("step", i, step)
+            self.tb.add_scalar("batch_time", batch_time.val, step)
+            self.tb.add_scalar("data_time", data_time.val, step)
+            self.tb.add_scalar("lr", float(self.lr_schedule(step)), step)
+            collector.tb_log(self.tb, step=step)
+
+            if self.args.val_step > 0 and step % self.args.val_step == 0:
+                rsum = self.validate()
+                self._checkpoint(epoch, rsum)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> float:
+        if self.val_loader is None:
+            return 0.0
+        step = int(self.state.step)
+        img_embs, cap_embs, img_lens, cap_lens = encode_data(
+            self.eval_step, {"params": self.state.params["model"]}["params"],
+            self.val_loader, logger=self.logger,
+        )
+        self.logger.info("Evaluating matching head...")
+        m = compute_recall(img_embs[:, 0, :], cap_embs[:, 0, :])
+        for k in ("r1", "r5", "r10", "r1i", "r5i", "r10i"):
+            src = {
+                "r1": "i2t_r1", "r5": "i2t_r5", "r10": "i2t_r10",
+                "r1i": "t2i_r1", "r5i": "t2i_r5", "r10i": "t2i_r10",
+            }[k]
+            self.tb.add_scalar(f"matching/{k}", m[src], step)
+        self.tb.add_scalar("matching/rsum", m["rsum"], step)
+        rsum = m["rsum"]
+        self.logger.info(
+            "Matching: i2t %.1f/%.1f/%.1f t2i %.1f/%.1f/%.1f rsum %.1f"
+            % (m["i2t_r1"], m["i2t_r5"], m["i2t_r10"],
+               m["t2i_r1"], m["t2i_r5"], m["t2i_r10"], m["rsum"])
+        )
+
+        if "alignment" in self.cfg.training.loss_types:
+            self.logger.info("Evaluating alignment head...")
+            i2t, t2i, _ = evaluate_alignment_head(
+                img_embs, cap_embs, img_lens, cap_lens,
+                aggregation=self.cfg.training.alignment_mode,
+                use_pallas=self.use_pallas,
+                ndcg_scorer=self.ndcg_scorer,
+            )
+            rsum_align = (
+                i2t["r1"] + i2t["r5"] + i2t["r10"] + t2i["r1"] + t2i["r5"] + t2i["r10"]
+            )
+            for k, v in (("r1", i2t["r1"]), ("r5", i2t["r5"]), ("r10", i2t["r10"]),
+                         ("r1i", t2i["r1"]), ("r5i", t2i["r5"]), ("r10i", t2i["r10"]),
+                         ("medr", i2t["medr"]), ("meanr", i2t["meanr"])):
+                self.tb.add_scalar(f"alignment/{k}", v, step)
+            self.tb.add_scalar("rsum", rsum_align, step)
+            self.logger.info(
+                "Alignment: i2t %.1f/%.1f/%.1f t2i %.1f/%.1f/%.1f rsum %.1f"
+                % (i2t["r1"], i2t["r5"], i2t["r10"], t2i["r1"], t2i["r5"], t2i["r10"], rsum_align)
+            )
+            rsum += rsum_align
+        return rsum
+
+    def _checkpoint(self, epoch: int, rsum: float):
+        is_best = rsum > self.best_rsum
+        self.best_rsum = max(rsum, self.best_rsum)
+        save_checkpoint(
+            self.args.logger_name, self.state, epoch + 1, self.cfg.to_dict(),
+            self.best_rsum, is_best_rsum=is_best,
+        )
