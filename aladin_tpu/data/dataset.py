@@ -116,6 +116,44 @@ class DisentangledTensorizer:
         i_ids, i_mask, i_seg, i_feats, img_len = self.image_stream(od_labels, feats)
         return Example(t_ids, t_mask, t_seg, cap_len, i_ids, i_mask, i_seg, i_feats, img_len)
 
+    def tensorize_joint(self, caption: str, od_labels: Optional[str], feats: np.ndarray):
+        """OSCAR-style JOINT stream: [CLS] caption [SEP] od-labels [SEP] +
+        regions, 'CLR' 1-D mask (ref:alad/dataset.py:133-201) - the input of
+        the entangled pair classifier / teacher path.
+
+        Returns (ids, mask, segment_ids, feats, seq_a_len, img_len) with
+        static shapes.
+        """
+        toks_a = self.tok.tokenize(caption)[: self.max_seq_len - 2]
+        tokens = [self.tok.cls_token] + toks_a + [self.tok.sep_token]
+        seg = [0] * len(tokens)
+        seq_a_len = len(tokens)
+        if od_labels:
+            toks_b = self.tok.tokenize(od_labels)
+            room = self.max_seq_len - len(tokens) - 1
+            toks_b = toks_b[:room]
+            tokens += toks_b + [self.tok.sep_token]
+            seg += [1] * (len(toks_b) + 1)
+        seq_len = len(tokens)
+        ids = self.tok.convert_tokens_to_ids(tokens) + [self.pad_id] * (self.max_seq_len - seq_len)
+        seg += [0] * (self.max_seq_len - seq_len)
+
+        img_len = min(feats.shape[0], self.max_img_seq_len)
+        out_feats = np.zeros((self.max_img_seq_len, self.img_feature_dim), np.float32)
+        out_feats[:img_len] = feats[:img_len, : self.img_feature_dim]
+        mask = (
+            [1] * seq_len + [0] * (self.max_seq_len - seq_len)
+            + [1] * img_len + [0] * (self.max_img_seq_len - img_len)
+        )
+        return (
+            np.asarray(ids, np.int32),
+            np.asarray(mask, np.int32),
+            np.asarray(seg, np.int32),
+            out_feats,
+            seq_a_len,
+            img_len,
+        )
+
 
 def _load_captions(path: str) -> Dict[int, List[str]]:
     if path.endswith(".json"):
@@ -136,11 +174,21 @@ def _load_captions(path: str) -> Dict[int, List[str]]:
 class RetrievalDataset:
     """Image/text retrieval dataset over pre-extracted VinVL features."""
 
-    def __init__(self, tokenizer, args: DataArgs, split: str = "train", is_train: bool = True):
+    def __init__(self, tokenizer, args: DataArgs, split: str = "train", is_train: bool = True,
+                 use_native_io: bool = True):
         self.args = args
         self.split = split
         self.is_train = is_train
         self.img_tsv = TSVFile(args.img_feat_file)
+        self._native = None
+        if use_native_io:
+            try:
+                from aladin_tpu.io.native import NativeFeatureReader, available
+
+                if available():
+                    self._native = NativeFeatureReader(args.img_feat_file)
+            except Exception:
+                self._native = None
         cap_file_pt = os.path.join(args.data_dir, f"{split}_captions.pt")
         cap_file_json = os.path.join(args.data_dir, f"{split}_captions.json")
         self.captions = _load_captions(
@@ -184,7 +232,10 @@ class RetrievalDataset:
         return len(self.img_keys) * self.num_captions_per_img
 
     def get_image(self, image_id: int) -> np.ndarray:
-        row = self.img_tsv.seek(self.image_id2idx[str(image_id)])
+        idx = self.image_id2idx[str(image_id)]
+        if self._native is not None:
+            return self._native.read_features(idx)
+        row = self.img_tsv.seek(idx)
         return decode_region_features(row[-1], int(row[1]))
 
     def get_od_labels(self, image_id: int) -> Optional[str]:

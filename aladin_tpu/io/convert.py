@@ -196,7 +196,9 @@ def load_aladin_checkpoint(path: str):
     sd = {k[len("img_txt_enc."):]: v for k, v in sd.items() if k.startswith("img_txt_enc.")}
 
     tree: Dict[str, Any] = {}
-    convert_bert_state(_strip_prefix(sd, "oscar_model.bert."), tree, "oscar")
+    bert_sd = _strip_prefix(sd, "oscar_model.bert.")
+    if bert_sd:
+        convert_bert_state(bert_sd, tree, "oscar")
     for torch_name, flax_name in _ALADIN_STACKS.items():
         sub = _strip_prefix(sd, torch_name + ".")
         if sub:
