@@ -1,0 +1,378 @@
+"""Image captioning: masked-LM training + static-shape decode.
+
+Behavioral contract (ref:oscar/modeling/modeling_bert.py:604-911
+BertForImageCaptioning, ref:oscar/run_captioning.py:195-325
+CaptionTensorizer):
+
+  * layout: [caption slots (max_seq_a), OD-label tokens (to max_seq), image
+    regions (max_img_seq)]; 2-D attention mask - caption->caption lower
+    triangle, caption->labels/regions full, labels/regions attend among
+    themselves but NEVER to the caption (ref:run_captioning.py:297-317);
+  * training: mask round(0.15 * len) of the caption tokens (<= 3), 80%
+    [MASK] / 10% random / 10% keep; loss = label-smoothed KL over masked
+    positions with optional drop-worst (ref:modeling_bert.py:575-601);
+  * MLM head: transform (dense + gelu + LN) -> decoder tied to the word
+    embeddings + bias (tie_weights, ref:modeling_bert.py:618-621);
+  * decoding is masked-LM style: position t holds [MASK]; its logits emit
+    token t.
+
+TPU-first redesign of generation: the reference mutates a KV cache with
+dynamic shapes per step (ref:modeling_bert.py:659-755). At caption lengths
+<= 40 over a <= 120-token context, recomputing the full static forward per
+step is cheaper than cache surgery on TPU and keeps every shape static: the
+caption buffer is pre-filled with [MASK]; the causal triangle makes logits
+at position t depend only on tokens < t, so one jitted step function serves
+the whole lax.scan. Greedy and fixed-width beam search are provided; CBS
+grafts onto the beam step via an FSM state (tasks/cbs.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from aladin_tpu.models.bert_img import BertImgConfig, BertImgModel, _dense_init
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+class BertMLMHead(nn.Module):
+    """BertOnlyMLMHead: dense + gelu + LN, then a decoder tied to the word
+    embeddings plus a free bias."""
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, word_embeddings: Array) -> Array:
+        cfg = self.cfg
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
+                     name="transform_dense")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="transform_layernorm")(x)
+        logits = jnp.einsum(
+            "...d,vd->...v", x, word_embeddings.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        bias = self.param("decoder_bias", nn.initializers.zeros, (cfg.vocab_size,))
+        return logits + bias
+
+
+class BertImageCaptioner(nn.Module):
+    """Backbone + tied MLM head over the caption positions."""
+
+    cfg: BertImgConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids, img_feats,
+                 deterministic: bool = True) -> Array:
+        """Returns (B, L_text, vocab) logits over ALL text positions."""
+        backbone = BertImgModel(self.cfg, self.dtype, name="bert")
+        seq, _, _, _ = backbone(
+            input_ids, attention_mask, token_type_ids, img_feats, deterministic
+        )
+        text_len = input_ids.shape[1]
+        word_emb = self.variables["params"]["bert"]["word_embeddings"]["embedding"]
+        return BertMLMHead(self.cfg, self.dtype, name="cls")(seq[:, :text_len], word_emb)
+
+
+# ---------------------------------------------------------------------------
+# Loss (ref:modeling_bert.py:575-601)
+# ---------------------------------------------------------------------------
+
+def captioning_loss(
+    logits: Array,  # (N, vocab) gathered masked-position logits
+    targets: Array,  # (N,) int ids; 0 ([PAD]) = inactive slot
+    label_smoothing: float = 0.1,
+    drop_worst_ratio: float = 0.0,
+    drop_worst_active: bool = False,
+) -> Array:
+    n_class = logits.shape[-1]
+    eps = label_smoothing
+    one_hot = jax.nn.one_hot(targets, n_class)
+    soft = one_hot * (1 - eps) + (1 - one_hot) * eps / (n_class - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # KLDiv(log_prb, one_hot).sum(1): sum q*(log q - log p); torch's kl_div
+    # contributes q*log q only where q > 0.
+    q_logq = jnp.where(soft > 0, soft * jnp.log(jnp.maximum(soft, 1e-38)), 0.0)
+    per_tok = jnp.sum(q_logq - soft * logp, axis=-1)
+    active = targets != 0  # padding masks removed (ref:modeling_bert.py:648)
+    per_tok = jnp.where(active, per_tok, jnp.inf)  # inf sorts worst; masked below
+
+    if drop_worst_ratio > 0:
+        k = int(per_tok.shape[0] * (1 - drop_worst_ratio))
+        kept = jax.lax.top_k(-per_tok, k)[0] * -1.0  # smallest k losses
+
+        def dropped():
+            vals = jnp.where(jnp.isfinite(kept), kept, 0.0)
+            cnt = jnp.sum(jnp.isfinite(kept))
+            return jnp.sum(vals) / jnp.maximum(cnt, 1)
+
+        def plain():
+            vals = jnp.where(active, jnp.where(jnp.isfinite(per_tok), per_tok, 0.0), 0.0)
+            return jnp.sum(vals) / jnp.maximum(jnp.sum(active), 1)
+
+        return jax.lax.cond(jnp.asarray(drop_worst_active), dropped, plain)
+    vals = jnp.where(active, jnp.where(jnp.isfinite(per_tok), per_tok, 0.0), 0.0)
+    return jnp.sum(vals) / jnp.maximum(jnp.sum(active), 1)
+
+
+# ---------------------------------------------------------------------------
+# Tensorizer (ref:run_captioning.py:195-325)
+# ---------------------------------------------------------------------------
+
+class CaptionTensorizer:
+    def __init__(self, tokenizer, max_img_seq_length=50, max_seq_length=70,
+                 max_seq_a_length=40, mask_prob=0.15, max_masked_tokens=3,
+                 img_feature_dim=2054, is_train=True, seed=0):
+        self.tok = tokenizer
+        self.max_img_seq_len = max_img_seq_length
+        self.max_seq_len = max_seq_length
+        self.max_seq_a_len = max_seq_a_length
+        self.mask_prob = mask_prob
+        self.max_masked = max_masked_tokens
+        self.img_feature_dim = img_feature_dim
+        self.is_train = is_train
+        self.rng = np.random.RandomState(seed)
+        self.pad_id = tokenizer.convert_tokens_to_ids([tokenizer.pad_token])[0]
+        self.mask_id = tokenizer.convert_tokens_to_ids([tokenizer.mask_token])[0]
+
+    def attention_mask(self, seq_a_len: int, seq_len: int, img_len: int) -> np.ndarray:
+        """(L_total, L_total) 2-D mask, reference block layout."""
+        la, lt, li = self.max_seq_a_len, self.max_seq_len, self.max_img_seq_len
+        m = np.zeros((lt + li, lt + li), np.int32)
+        tri = np.tril(np.ones((seq_a_len, seq_a_len), np.int32))
+        m[:seq_a_len, :seq_a_len] = tri
+        m[la:seq_len, la:seq_len] = 1  # L-L
+        m[lt : lt + img_len, lt : lt + img_len] = 1  # R-R
+        m[:seq_a_len, la:seq_len] = 1  # C->L
+        m[:seq_a_len, lt : lt + img_len] = 1  # C->R
+        m[la:seq_len, lt : lt + img_len] = 1  # L->R
+        m[lt : lt + img_len, la:seq_len] = 1  # R->L
+        return m
+
+    def tensorize(self, caption: Optional[str], od_labels: Optional[str], feats: np.ndarray):
+        if self.is_train:
+            toks_a = self.tok.tokenize(caption)[: self.max_seq_a_len - 2]
+        else:
+            toks_a = [self.tok.mask_token] * (self.max_seq_a_len - 2)
+        tokens = [self.tok.cls_token] + toks_a + [self.tok.sep_token]
+        seg = [0] * len(tokens)
+        seq_a_len = len(tokens)
+        if od_labels:
+            tokens += [self.tok.pad_token] * (self.max_seq_a_len - seq_a_len)
+            seg += [0] * (self.max_seq_a_len - len(seg))
+            toks_b = self.tok.tokenize(od_labels)
+            toks_b = toks_b[: self.max_seq_len - len(tokens) - 1]
+            tokens += toks_b + [self.tok.sep_token]
+            seg += [1] * (len(toks_b) + 1)
+        seq_len = len(tokens)
+
+        masked_pos = np.zeros(self.max_seq_len, np.int32)
+        masked_ids = np.zeros(self.max_masked, np.int64)
+        if self.is_train:
+            cand = list(range(1, seq_a_len))
+            self.rng.shuffle(cand)
+            num = int(min(max(round(self.mask_prob * seq_a_len), 1), self.max_masked))
+            idx = sorted(cand[:num])
+            originals = [tokens[i] for i in idx]
+            for pos in idx:
+                r = self.rng.rand()
+                if r <= 0.8:
+                    tokens[pos] = self.tok.mask_token
+                elif self.rng.rand() <= 0.5:
+                    tokens[pos] = list(self.tok.vocab.keys())[
+                        self.rng.randint(len(self.tok.vocab))
+                    ]
+            masked_pos[idx] = 1
+            ids = self.tok.convert_tokens_to_ids(originals)
+            masked_ids[: len(ids)] = ids
+        else:
+            masked_pos[:] = 1
+
+        tokens += [self.tok.pad_token] * (self.max_seq_len - seq_len)
+        seg += [0] * (self.max_seq_len - len(seg))
+        input_ids = np.asarray(self.tok.convert_tokens_to_ids(tokens), np.int32)
+
+        img_len = min(feats.shape[0], self.max_img_seq_len)
+        out_feats = np.zeros((self.max_img_seq_len, self.img_feature_dim), np.float32)
+        out_feats[:img_len] = feats[:img_len, : self.img_feature_dim]
+        attn = self.attention_mask(seq_a_len, seq_len, img_len)
+        return input_ids, attn, np.asarray(seg, np.int32), out_feats, masked_pos, masked_ids
+
+
+# ---------------------------------------------------------------------------
+# Decoding (static shapes; see module docstring)
+# ---------------------------------------------------------------------------
+
+def _decode_attention_mask(max_seq_a, max_seq, max_img, od_len, img_len, dtype=np.int32):
+    """Static decode mask: full triangle over caption slots."""
+    m = np.zeros((max_seq + max_img, max_seq + max_img), dtype)
+    m[:max_seq_a, :max_seq_a] = np.tril(np.ones((max_seq_a, max_seq_a), dtype))
+    l0, l1 = max_seq_a, max_seq_a + od_len
+    r0, r1 = max_seq, max_seq + img_len
+    m[l0:l1, l0:l1] = 1
+    m[r0:r1, r0:r1] = 1
+    m[:max_seq_a, l0:l1] = 1
+    m[:max_seq_a, r0:r1] = 1
+    m[l0:l1, r0:r1] = 1
+    m[r0:r1, l0:l1] = 1
+    return m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "max_steps", "cls_id", "sep_id", "mask_id", "pad_id")
+)
+def greedy_decode(
+    model: BertImageCaptioner,
+    params,
+    od_ids: Array,  # (B, max_seq - max_seq_a) padded od-label tokens
+    od_seg: Array,
+    img_feats: Array,  # (B, R, F)
+    attn_mask: Array,  # (B, L, L) static decode mask
+    *,
+    max_steps: int,
+    cls_id: int,
+    sep_id: int,
+    mask_id: int,
+    pad_id: int,
+) -> Tuple[Array, Array]:
+    """Greedy masked-LM decode. Returns (tokens (B, max_steps+1), logprobs)."""
+    b = img_feats.shape[0]
+    max_seq_a = max_steps + 1
+
+    cap = jnp.full((b, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+    seg_a = jnp.zeros((b, max_seq_a), jnp.int32)
+
+    def step(carry, t):
+        cap, finished, logprob = carry
+        ids = jnp.concatenate([cap, od_ids], axis=1)
+        seg = jnp.concatenate([seg_a, od_seg], axis=1)
+        logits = model.apply({"params": params}, ids, attn_mask, seg, img_feats, True)
+        logp = jax.nn.log_softmax(logits[:, :, :], axis=-1)
+        step_logp = jnp.take_along_axis(
+            logp, jnp.full((b, 1, 1), 0, jnp.int32) + t[None, None, None], axis=1
+        )[:, 0, :]  # (B, vocab) logits at position t
+        tok = jnp.argmax(step_logp, axis=-1).astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(step_logp, tok[:, None], axis=1)[:, 0]
+        tok = jnp.where(finished, pad_id, tok)
+        tok_lp = jnp.where(finished, 0.0, tok_lp)
+        # write unconditionally: tok is already PAD for finished rows
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, tok[:, None], cap)
+        finished = finished | (tok == sep_id)
+        return (cap, finished, logprob + tok_lp), None
+
+    init = (cap, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32))
+    (cap, finished, logprob), _ = jax.lax.scan(
+        step, init, jnp.arange(1, max_seq_a, dtype=jnp.int32)
+    )
+    return cap, logprob
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_steps", "num_beams", "cls_id", "sep_id", "mask_id",
+                     "pad_id", "length_penalty"),
+)
+def beam_search_decode(
+    model: BertImageCaptioner,
+    params,
+    od_ids: Array,
+    od_seg: Array,
+    img_feats: Array,
+    attn_mask: Array,
+    *,
+    max_steps: int,
+    num_beams: int = 5,
+    cls_id: int,
+    sep_id: int,
+    mask_id: int,
+    pad_id: int,
+    length_penalty: float = 1.0,
+) -> Tuple[Array, Array]:
+    """Fixed-width beam search (beams folded into batch). Returns the best
+    (tokens (B, max_steps+1), score) per example - the capability of the
+    reference's _generate_beam_search (ref:oscar/modeling/modeling_utils.py)
+    with static shapes."""
+    b = img_feats.shape[0]
+    k = num_beams
+    max_seq_a = max_steps + 1
+    vocab = None  # derived below
+
+    tile = lambda x: jnp.repeat(x, k, axis=0)  # noqa: E731
+    od_ids_t, od_seg_t = tile(od_ids), tile(od_seg)
+    img_t, attn_t = tile(img_feats), tile(attn_mask)
+    seg_a = jnp.zeros((b * k, max_seq_a), jnp.int32)
+
+    cap = jnp.full((b * k, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+    # beam 0 active, others -inf so the first expansion seeds distinct tokens
+    scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b,))
+    finished = jnp.zeros((b * k,), bool)
+    lengths = jnp.ones((b * k,), jnp.int32)
+
+    def step(carry, t):
+        cap, scores, finished, lengths = carry
+        ids = jnp.concatenate([cap, od_ids_t], axis=1)
+        seg = jnp.concatenate([seg_a, od_seg_t], axis=1)
+        logits = model.apply({"params": params}, ids, attn_t, seg, img_t, True)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        step_logp = jnp.take_along_axis(
+            logp, jnp.full((b * k, 1, 1), t, jnp.int32), axis=1
+        )[:, 0, :]  # (B*K, V)
+        v = step_logp.shape[-1]
+        # finished beams only extend with pad at no cost
+        pad_row = jnp.full((v,), -1e9).at[pad_id].set(0.0)
+        step_logp = jnp.where(finished[:, None], pad_row[None, :], step_logp)
+
+        cand = scores[:, None] + step_logp  # (B*K, V)
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+        beam_idx = top_idx // v + jnp.arange(b)[:, None] * k  # source beam
+        tok = (top_idx % v).astype(jnp.int32)
+
+        cap = cap[beam_idx.reshape(-1)]
+        finished = finished[beam_idx.reshape(-1)]
+        lengths = lengths[beam_idx.reshape(-1)]
+        tok = tok.reshape(-1)
+        write_tok = jnp.where(finished, pad_id, tok)
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, write_tok[:, None], cap)
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        finished = finished | (tok == sep_id)
+        return (cap, top_scores.reshape(-1), finished, lengths), None
+
+    (cap, scores, finished, lengths), _ = jax.lax.scan(
+        step, (cap, scores, finished, lengths),
+        jnp.arange(1, max_seq_a, dtype=jnp.int32),
+    )
+    norm = scores / jnp.power(lengths.astype(jnp.float32), length_penalty)
+    norm = norm.reshape(b, k)
+    best = jnp.argmax(norm, axis=1)
+    cap = cap.reshape(b, k, max_seq_a)[jnp.arange(b), best]
+    return cap, norm[jnp.arange(b), best]
+
+
+def top_k_top_p_filtering(logits: Array, top_k: int = 0, top_p: float = 1.0,
+                          filter_value: float = -1e9) -> Array:
+    """Sampling filter (ref:oscar/modeling/modeling_utils.py:600-633
+    capability) - static-shape version."""
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, filter_value, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, filter_value, logits)
+    return logits
