@@ -155,6 +155,19 @@ class DisentangledTensorizer:
         )
 
 
+def _load_captions_raw(path: str):
+    if path.endswith(".json"):
+        with open(path) as f:
+            raw = json.load(f)
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    return {
+        k: (v if isinstance(v, list) else json.loads(v)) for k, v in raw.items()
+    }
+
+
 def _load_captions(path: str) -> Dict[int, List[str]]:
     if path.endswith(".json"):
         with open(path) as f:
@@ -213,6 +226,8 @@ class RetrievalDataset:
                     self.labels[image_id] = " ".join(o["class"] for o in objects)
             label_tsv.close()  # close before workers fork (ref:dataset.py:69-70)
 
+        self.has_caption_indexs = False
+        self.caption_indexs: Dict[int, list] = {}
         if not is_train:
             self.num_captions_per_img = args.num_captions_per_img_val
             if args.eval_img_keys_file:
@@ -221,6 +236,13 @@ class RetrievalDataset:
                 self.captions = {k: self.captions[k] for k in self.img_keys}
                 if args.add_od_labels:
                     self.labels = {k: self.labels[k] for k in self.img_keys}
+            if args.eval_caption_index_file:
+                # hard-negative (img_key, cap_idx) lists for re-rank minival
+                # monitoring (ref:alad/dataset.py:86-97)
+                self.has_caption_indexs = True
+                idx_path = os.path.join(args.data_dir, args.eval_caption_index_file)
+                raw = _load_captions_raw(idx_path)
+                self.caption_indexs = {int(k): v for k, v in raw.items()}
         else:
             self.num_captions_per_img = args.num_captions_per_img_train
 
@@ -241,12 +263,22 @@ class RetrievalDataset:
     def get_od_labels(self, image_id: int) -> Optional[str]:
         return self.labels.get(image_id) if self.args.add_od_labels else None
 
-    def example(self, index: int) -> Example:
+    def get_image_caption_index(self, index: int):
+        """index -> (img_idx, [caption img_key, cap_idx]); honors the
+        hard-negative rerank indexes when loaded (ref:alad/dataset.py:104-119
+        + the reference's caption_indexs semantics)."""
         img_idx = index // self.num_captions_per_img
         cap_idx = index % self.num_captions_per_img
+        if self.has_caption_indexs:
+            key1, cap_idx1 = self.caption_indexs[self.img_keys[img_idx]][cap_idx]
+            return img_idx, [int(key1), int(cap_idx1)]
+        return img_idx, [self.img_keys[img_idx], cap_idx]
+
+    def example(self, index: int) -> Example:
+        img_idx, (cap_key, cap_idx) = self.get_image_caption_index(index)
         key = self.img_keys[img_idx]
         return self.tensorizer.tensorize(
-            self.captions[key][cap_idx], self.get_od_labels(key), self.get_image(key)
+            self.captions[cap_key][cap_idx], self.get_od_labels(key), self.get_image(key)
         )
 
     def collate(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:

@@ -91,3 +91,31 @@ def write_tsv(path: str, rows) -> None:
             f.write(line)
             fi.write(f"{pos}\n")
             pos += len(line.encode("utf-8"))
+
+
+def concat_tsv(paths, out_path: str) -> None:
+    """Concatenate TSVs, regenerating the lineidx
+    (ref:oscar/utils/tsv_file_ops.py concat capability)."""
+
+    def rows():
+        for p in paths:
+            t = TSVFile(p)
+            for i in range(t.num_rows()):
+                yield t.seek(i)
+            t.close()
+
+    write_tsv(out_path, rows())
+
+
+def reorder_tsv(path: str, order, out_path: str) -> None:
+    """Write rows of ``path`` in ``order`` (ref:tsv_file_ops reorder)."""
+    t = TSVFile(path)
+    write_tsv(out_path, (t.seek(i) for i in order))
+    t.close()
+
+
+def delete_tsv(path: str) -> None:
+    """Remove a TSV and its sidecar (ref:tsv_file_ops delete)."""
+    for p in (path, os.path.splitext(path)[0] + ".lineidx"):
+        if os.path.exists(p):
+            os.remove(p)

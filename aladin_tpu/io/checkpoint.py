@@ -37,8 +37,14 @@ def save_checkpoint(
     best_rsum: float,
     is_best_rsum: bool = False,
     name: str = "checkpoint",
+    retries: int = 10,
 ) -> str:
-    """Write <out_dir>/<name>; copy to model_best_rsum on best."""
+    """Write <out_dir>/<name>; copy to model_best_rsum on best.
+
+    Saves retry up to 10 times (the reference's blob-storage resilience loop,
+    ref:oscar/run_retrieval.py:296-313) - the only failure-recovery mechanism
+    the reference has besides manual --resume (SURVEY.md S5.3).
+    """
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(out_dir, name))
     payload = {
@@ -49,9 +55,21 @@ def save_checkpoint(
         "best_rsum": float(best_rsum),
     }
     ckptr = ocp.PyTreeCheckpointer()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+    last_err = None
+    for attempt in range(retries):
+        try:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ckptr.save(path, payload)
+            last_err = None
+            break
+        except Exception as e:  # noqa: BLE001 - retry any IO-layer failure
+            last_err = e
+            import time
+
+            time.sleep(min(2**attempt, 30))
+    if last_err is not None:
+        raise last_err
     import json
 
     with open(os.path.join(path, "experiment_config.json"), "w") as f:

@@ -50,9 +50,13 @@ from aladin_tpu.ops.similarity import l2norm
 def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, r8: int, w48: int, bcc: int,
                  acc_dtype=jnp.float32):
     lanes = bcc * w48
-    align = jnp.dot(img_ref[:], cap_ref[:], preferred_element_type=jnp.float32)
-    if acc_dtype != jnp.float32:  # store the tile narrow; f32 MXU accumulation
-        align = align.astype(acc_dtype)
+    int8_mode = img_ref.dtype == jnp.int8
+    align = jnp.dot(
+        img_ref[:], cap_ref[:],
+        preferred_element_type=jnp.int32 if int8_mode else jnp.float32,
+    )
+    if not int8_mode and acc_dtype != jnp.float32:
+        align = align.astype(acc_dtype)  # narrow store; f32 MXU accumulation
     # Split rows into per-image groups of r8 (a multiple of 8 = sublane tile):
     # tile-aligned, so the reshape is free - no VMEM relayout copy. Rows
     # [r, r8) are pure layout padding; unlike the [img_len-1, r) zeros (the
@@ -112,8 +116,22 @@ def mrsw_scores_pallas(
     s_seq = jnp.pad(s_seq, ((0, pad_c), (0, w48 - w), (0, 0)))
     ni, nc = n_im + pad_i, n_cap + pad_c
 
-    imgs_flat = im_set.reshape(ni * r8, d).astype(compute_dtype)
-    caps_t = s_seq.reshape(nc * w48, d).T.astype(compute_dtype)  # (D, NC*W48)
+    if compute_dtype == jnp.int8:
+        # Quantized scoring: symmetric per-tensor int8 with data-derived
+        # scales (127 / max|coord| of the L2-normalized tokens). The MXU's
+        # int8 path doubles peak throughput on v5e (394 vs 197 TOPS); the
+        # int32 accumulation is exact, so the only error is coordinate
+        # rounding (~1e-2 absolute on MrSw scores; rank-stable in practice -
+        # use bf16/f32 when bit-level parity with the f32 path matters).
+        s_im = 127.0 / jnp.maximum(jnp.max(jnp.abs(im_set)), 1e-6)
+        s_cap = 127.0 / jnp.maximum(jnp.max(jnp.abs(s_seq)), 1e-6)
+        imgs_flat = jnp.clip(jnp.round(im_set.reshape(ni * r8, d) * s_im), -127, 127).astype(jnp.int8)
+        caps_t = jnp.clip(jnp.round(s_seq.reshape(nc * w48, d).T * s_cap), -127, 127).astype(jnp.int8)
+        descale = 1.0 / (s_im * s_cap)
+    else:
+        imgs_flat = im_set.reshape(ni * r8, d).astype(compute_dtype)
+        caps_t = s_seq.reshape(nc * w48, d).T.astype(compute_dtype)  # (D, NC*W48)
+        descale = None
 
     grid = (ni // block_imgs, nc // block_caps)
     kernel = functools.partial(
@@ -138,7 +156,8 @@ def mrsw_scores_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(imgs_flat, caps_t)
-    return out_t.T[:n_im, :n_cap]
+    out = out_t.T[:n_im, :n_cap]
+    return out * descale if descale is not None else out
 
 
 def mrsw_scores_reference(im_set, s_seq, im_len, s_len) -> np.ndarray:
