@@ -5,7 +5,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,6 @@ from aladin_tpu.data.pipeline import BatchLoader
 from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
 from aladin_tpu.models.aladin import ALADIN
 from aladin_tpu.models.bert_img import BertImgConfig
-from aladin_tpu.train.state import create_train_state
 
 
 def add_shared_flags(p: argparse.ArgumentParser) -> None:

@@ -27,7 +27,6 @@ from aladin_tpu.eval.encode import encode_data
 from aladin_tpu.eval.recall import compute_recall, recall_1k_5fold
 from aladin_tpu.eval.retrieval import evaluate_alignment_head
 from aladin_tpu.io.checkpoint import load_checkpoint
-from aladin_tpu.train.state import create_train_state
 from aladin_tpu.train.step import make_eval_step
 from aladin_tpu.utils.logging import setup_logger
 

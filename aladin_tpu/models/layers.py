@@ -132,6 +132,14 @@ class DepthAggregator(nn.Module):
             return jnp.einsum("dbsi,dbsk->bsk", gate, x, preferred_element_type=jnp.float32).astype(
                 x.dtype
             )
+        if self.aggr == "transformer":
+            # The reference constructs a depth transformer for this mode but
+            # its aggregator forward never handles it -> UnboundLocalError
+            # (latent defect, ref:alad/utils.py:15-49 vs alad_model.py:97-99).
+            raise NotImplementedError(
+                "depth-aggregation 'transformer' is a latent crash in the "
+                "reference; no shipped or old config uses it"
+            )
         raise ValueError(f"unknown depth aggregation {self.aggr!r}")
 
 
@@ -173,9 +181,9 @@ class GatedAggregation(nn.Module):
 
 class Aggregator(nn.Module):
     """Sequence -> vector pooling (ref:alad/utils.py:167-205). Modes:
-    'first' (token 0, the shipped default), 'sum', 'gated', 'sum-and-map'.
-    ('gru' is intentionally unsupported: nothing in the experiment matrix
-    uses it and recurrent pooling is hostile to the MXU.)"""
+    'first' (token 0, the shipped default), 'sum', 'gated', 'sum-and-map',
+    'gru' (a scanned GRU reading the masked sequence; final hidden state -
+    pack_padded_sequence semantics with static shapes)."""
 
     embed_size: int
     aggregation: str = "first"
@@ -193,6 +201,12 @@ class Aggregator(nn.Module):
             return out
         if self.aggregation == "gated":
             return GatedAggregation(self.embed_size, self.dtype, name="gated")(x, padding_mask)
+        if self.aggregation == "gru":
+            rnn = nn.RNN(nn.GRUCell(self.embed_size, dtype=self.dtype), name="gru")
+            carry, _ = rnn(
+                x, seq_lengths=lengths.astype(jnp.int32), return_carry=True
+            )
+            return carry
         raise ValueError(f"unsupported aggregation {self.aggregation!r}")
 
 
@@ -218,6 +232,34 @@ class PositionalEncodingText(nn.Module):
         pe = sinusoidal_positions(self.max_len, self.d_model)
         x = x + pe[None, : x.shape[1], :]
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class PositionalEncodingImageGrid(nn.Module):
+    """Grid-coordinate positional signal for n x n region grids
+    (ref:alad/utils.py:71-103): each cell's (x, y) in [-1, 1] projected by a
+    learned Linear and added; an optional leading start token gets an
+    off-grid coordinate."""
+
+    d_model: int
+    n_regions: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, start_token: bool = False) -> Array:
+        n = self.n_regions
+        coords = jnp.linspace(-1.0, 1.0, n)
+        grid = jnp.stack(
+            [jnp.tile(coords[None, :], (n, 1)), jnp.tile(coords[:, None], (1, n))], axis=2
+        ).reshape(n * n, 2)
+        proj = nn.Dense(self.d_model, dtype=self.dtype, name="map")
+        pe = proj(grid)  # (n*n, d)
+        if start_token:
+            off = jnp.asarray([[-1.0 - 2.0 / n, -1.0]], x.dtype)
+            pe0 = proj(off)  # (1, d)
+            return jnp.concatenate(
+                [x[:, :1] + pe0[None], x[:, 1:] + pe[None, : x.shape[1] - 1]], axis=1
+            )
+        return x + pe[None, : x.shape[1]]
 
 
 class PositionalEncodingImageBoxes(nn.Module):

@@ -45,10 +45,6 @@ def is_main_process() -> bool:
 def all_reduce_metrics(mesh, metrics: dict) -> dict:
     """Mean-reduce scalar metrics across the mesh (the reference's
     torch.distributed.all_reduce of eval counters)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    axes = tuple(mesh.axis_names)
-
     @jax.jit
     def mean(x):
         return x  # scalars produced under jit are already globally consistent

@@ -18,8 +18,7 @@ Two reference capabilities live here:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax import Array
 
 from aladin_tpu.models.bert_img import ImageBertClassifier
 

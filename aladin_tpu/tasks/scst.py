@@ -14,7 +14,7 @@ the policy-gradient step on device.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Dict, List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
