@@ -114,8 +114,7 @@ class Trainer:
             return 0.0
         step = int(self.state.step)
         img_embs, cap_embs, img_lens, cap_lens = encode_data(
-            self.eval_step, {"params": self.state.params["model"]}["params"],
-            self.val_loader, logger=self.logger,
+            self.eval_step, self.state.params["model"], self.val_loader, logger=self.logger,
         )
         self.logger.info("Evaluating matching head...")
         m = compute_recall(img_embs[:, 0, :], cap_embs[:, 0, :])
