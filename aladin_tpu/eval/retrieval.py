@@ -106,7 +106,7 @@ def evaluate_alignment_head(
     cap_lens,
     aggregation: str = "MrSw",
     captions_per_image: int = 5,
-    use_pallas: bool = True,
+    use_pallas: Optional[bool] = None,
     ndcg_scorer=None,
     score_fn: Optional[Callable] = None,
 ) -> Tuple[Dict[str, float], Dict[str, float], Array]:
@@ -117,6 +117,8 @@ def evaluate_alignment_head(
     aggregation == 'MrSw' (unless disabled), the XLA blockwise scorer
     otherwise; ``score_fn`` overrides both (e.g. a mesh-sharded scorer).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     k = captions_per_image
     ims = jnp.asarray(img_sets)[::k]
     il = jnp.asarray(img_lens)[::k]

@@ -80,6 +80,14 @@ class ALADIN(nn.Module):
     def __call__(self, batch: Batch, deterministic: bool = True) -> AladinOutputs:
         mc = self.cfg.model
         embed = mc.embed_size
+        # The reference defines img_proj/cap_proj(hidden -> embed) but never
+        # applies them (commented out, ref:alad_model.py:201,211), so
+        # embed-size must equal the backbone hidden size there too.
+        assert embed == self.bert_cfg.hidden_size, (
+            f"embed-size ({embed}) must match the backbone hidden size "
+            f"({self.bert_cfg.hidden_size}); the reference's projection "
+            "layers are dead code"
+        )
         backbone = BertImgModel(self.bert_cfg, self.dtype, name="oscar")
 
         txt_seq, _, txt_hidden, _ = backbone(
