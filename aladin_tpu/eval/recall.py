@@ -90,7 +90,8 @@ def recall_1k_5fold(img_embs, cap_embs, fold: int = 5000) -> Dict[str, float]:
     """5 x 1k folds of the 5k test set, averaged (ref:recall_auxiliary.py:90-130)."""
     keys = ("i2t_r1", "i2t_r5", "i2t_r10", "t2i_r1", "t2i_r5", "t2i_r10")
     acc = {k: 0.0 for k in keys}
-    n_folds = len(img_embs) // fold
+    n_folds = max(len(img_embs) // fold, 1)
+    fold = min(fold, len(img_embs))
     for i in range(n_folds):
         m = compute_recall(img_embs[i * fold : (i + 1) * fold], cap_embs[i * fold : (i + 1) * fold])
         for k in keys:

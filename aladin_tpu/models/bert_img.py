@@ -61,6 +61,9 @@ class BertImgConfig:
     use_img_layernorm: bool = True
     img_layer_norm_eps: float = 1e-12
     num_labels: int = 2  # OSCAR pair classifier (matched / not-matched)
+    # TPU-native: rematerialize encoder layers in the backward pass (trade
+    # FLOPs for HBM - enables much larger batches on one chip)
+    remat: bool = False
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertImgConfig":
@@ -187,10 +190,15 @@ class BertImgModel(nn.Module):
 
         bias = additive_attention_bias(attention_mask, dtype=jnp.float32)
 
+        layer_cls = BertLayer
+        if cfg.remat:
+            # static_argnums counts self at 0: (x, bias, deterministic) -> 3
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
+
         hidden_states = [x]
         attentions = []
         for i in range(cfg.num_hidden_layers):
-            x, probs = BertLayer(cfg, self.dtype, name=f"layer_{i}")(x, bias, deterministic)
+            x, probs = layer_cls(cfg, self.dtype, name=f"layer_{i}")(x, bias, deterministic)
             hidden_states.append(x)
             if output_attentions:
                 attentions.append(probs)
