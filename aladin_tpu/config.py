@@ -91,6 +91,9 @@ class TrainingConfig:
     distillation_mode: str = "listnet"
     activate_distillation_after: int = 0
     measure: str = "dot"  # 'dot' | 'cosine' | 'order'
+    # TPU-native: chunk the in-batch alignment tensor over the caption axis
+    # (rematerialized in backward); 0 = dense. Unlocks B >= 512.
+    alignment_chunk: int = 0
     margin: float = 0.2
     bs: int = 32
     scheduler: Optional[str] = "steplr"  # 'steplr' | None
@@ -118,6 +121,7 @@ class TrainingConfig:
                 )
             ),
             measure=_get(d, "measure", "dot"),
+            alignment_chunk=int(_get(d, "alignment-chunk", 0)),
             margin=float(_get(d, "margin", 0.2)),
             bs=int(_get(d, "bs", 32)),
             scheduler=_get(d, "scheduler", "steplr"),
@@ -200,6 +204,7 @@ class ExperimentConfig:
                 "distillation-mode": self.training.distillation_mode,
                 "activate-distillation-after": self.training.activate_distillation_after,
                 "measure": self.training.measure,
+                "alignment-chunk": self.training.alignment_chunk,
                 "margin": self.training.margin,
                 "bs": self.training.bs,
                 "scheduler": self.training.scheduler,

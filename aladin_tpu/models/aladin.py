@@ -90,11 +90,21 @@ class ALADIN(nn.Module):
         )
         backbone = BertImgModel(self.bert_cfg, self.dtype, name="oscar")
 
+        # The hidden-state stack is only materialized when a consumer exists
+        # (depth aggregation / L1 regularizer) - it is a multi-GB buffer at
+        # large batch and the shipped configs never read it.
+        need_hidden = bool(
+            mc.depth_aggregation_alignment
+            or mc.depth_aggregation_matching
+            or "regularizehidden" in self.cfg.training.loss_types
+        )
         txt_seq, _, txt_hidden, _ = backbone(
-            batch.txt_ids, batch.txt_mask, batch.txt_type, None, deterministic
+            batch.txt_ids, batch.txt_mask, batch.txt_type, None, deterministic,
+            output_hidden_states=need_hidden,
         )
         img_seq, _, img_hidden, _ = backbone(
-            batch.img_ids, batch.img_mask, batch.img_type, batch.img_feats, deterministic
+            batch.img_ids, batch.img_mask, batch.img_type, batch.img_feats, deterministic,
+            output_hidden_states=need_hidden,
         )
 
         l_t = batch.txt_ids.shape[1]
@@ -102,8 +112,8 @@ class ALADIN(nn.Module):
         txt_pad = padding_mask(batch.cap_len, l_t)  # True = pad
         img_pad = padding_mask(batch.img_len, r)
 
-        region_hidden = img_hidden[:, :, l_t : l_t + r, :]  # (13, B, R, D)
-        cap_hidden = txt_hidden[:, :, :l_t, :]
+        region_hidden = img_hidden[:, :, l_t : l_t + r, :] if need_hidden else None
+        cap_hidden = txt_hidden[:, :, :l_t, :] if need_hidden else None
 
         # ---- alignment-side token sets (ref:alad_model.py:163-175) ----
         if mc.depth_aggregation_alignment:

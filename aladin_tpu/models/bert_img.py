@@ -160,6 +160,7 @@ class BertImgModel(nn.Module):
         img_feats: Optional[Array] = None,  # (B, R, img_feature_dim)
         deterministic: bool = True,
         output_attentions: bool = False,
+        output_hidden_states: bool = False,
     ):
         cfg = self.cfg
         b, l = input_ids.shape
@@ -199,7 +200,8 @@ class BertImgModel(nn.Module):
         attentions = []
         for i in range(cfg.num_hidden_layers):
             x, probs = layer_cls(cfg, self.dtype, name=f"layer_{i}")(x, bias, deterministic)
-            hidden_states.append(x)
+            if output_hidden_states:
+                hidden_states.append(x)
             if output_attentions:
                 attentions.append(probs)
 
@@ -207,7 +209,9 @@ class BertImgModel(nn.Module):
                           name="pooler")(x[:, 0])
         pooled = jnp.tanh(pooled)
 
-        all_hidden = jnp.stack(hidden_states, axis=0)  # (13, B, S, D)
+        # (13, B, S, D) like output_hidden_states=True upstream; None when
+        # not requested (a 2.7 GB retained buffer at B=1024 otherwise)
+        all_hidden = jnp.stack(hidden_states, axis=0) if output_hidden_states else None
         all_attn = jnp.stack(attentions, axis=0) if output_attentions else None
         return x, pooled, all_hidden, all_attn
 

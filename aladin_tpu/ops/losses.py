@@ -70,12 +70,21 @@ def alignment_contrastive_loss(
     max_violation: bool = True,
     aggregation: str = "MrSw",
     normalized: bool = False,
+    chunk: int = 0,
 ) -> Tuple[Array, Array]:
     """Fine-grained alignment triplet loss; returns (loss, score matrix)
-    (ref:alad/loss.py:70-159)."""
-    scores = alignment_scores(
-        im_set, s_seq, im_len, s_len, aggregation, normalized=normalized
-    )
+    (ref:alad/loss.py:70-159). chunk > 0 bounds memory via the scanned +
+    rematerialized scorer (ops.alignment.alignment_scores_chunked)."""
+    if chunk > 0:
+        from aladin_tpu.ops.alignment import alignment_scores_chunked
+
+        scores = alignment_scores_chunked(
+            im_set, s_seq, im_len, s_len, aggregation, chunk, normalized=normalized
+        )
+    else:
+        scores = alignment_scores(
+            im_set, s_seq, im_len, s_len, aggregation, normalized=normalized
+        )
     return contrastive_hinge(scores, margin, max_violation), scores
 
 

@@ -56,6 +56,7 @@ def make_loss_fn(model: ALADIN, cfg: ExperimentConfig) -> Callable:
             alignment_loss, teacher = L.alignment_contrastive_loss(
                 out.img_set, out.cap_seq, out.img_len, out.cap_len,
                 tc.margin, tc.max_violation, tc.alignment_mode, normalized=True,
+                chunk=tc.alignment_chunk,
             )
             if "alignment" in types:
                 terms["alignment"] = alignment_loss

@@ -88,7 +88,8 @@ def test_text_path_matches_hf(rng):
 
     params = flax_params_from_hf(hf)
     seq, pooled, hidden, _ = model.apply(
-        params, jnp.array(ids), jnp.array(mask), jnp.array(tt), None, True
+        params, jnp.array(ids), jnp.array(mask), jnp.array(tt), None, True,
+        output_hidden_states=True,
     )
     with torch.no_grad():
         out = hf(
