@@ -90,6 +90,18 @@ def build_model_and_params(
         from aladin_tpu.io.convert import load_oscar_checkpoint
 
         tree, bert_cfg = load_oscar_checkpoint(args.eval_model_dir)
+        if cfg.model.embed_size != bert_cfg.hidden_size:
+            # the reference's projection layers are dead code, so embed-size
+            # MUST track the backbone; follow the checkpoint and warn
+            import logging
+
+            logging.getLogger("vlpretrain").warning(
+                "embed-size %d != checkpoint hidden %d; using the checkpoint's",
+                cfg.model.embed_size, bert_cfg.hidden_size,
+            )
+            d = cfg.to_dict()
+            d["model"]["embed-size"] = bert_cfg.hidden_size
+            cfg = ExperimentConfig.from_dict(d)
         model = ALADIN(cfg, bert_cfg, dtype=dtype)
         params = model.init(rng, example_batch, True)["params"]
         params["oscar"] = jax.tree.map(jnp.asarray, tree["oscar"])
