@@ -163,3 +163,30 @@ def test_metric_logger():
     ml.update(loss=2.0, acc=0.6)
     assert "loss" in str(ml)
     assert ml.loss.global_avg == 1.5
+
+
+def test_attdistillation_composition(rng):
+    """The entangled teacher's attentions compose directly with
+    attention_distillation_loss (the reference's unreachable attdistillation
+    path, SURVEY S2.6(7), made reachable end-to-end)."""
+    from aladin_tpu.ops.losses import attention_distillation_loss
+    from aladin_tpu.tasks.oscar_teacher import teacher_scores
+
+    cfg = small_cfg(num_labels=2)
+    model = __import__("aladin_tpu.models.bert_img", fromlist=["ImageBertClassifier"]).ImageBertClassifier(cfg)
+    b, l, r = 3, 10, 6
+    n = b * b
+    ids = jnp.array(rng.randint(3, cfg.vocab_size, (n, l)).astype(np.int32))
+    mask = jnp.ones((n, l + r), jnp.int32)
+    seg = jnp.zeros((n, l), jnp.int32)
+    feats = jnp.array(rng.randn(n, r, cfg.img_feature_dim).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), ids[:1], mask[:1], seg[:1], feats[:1],
+                        True, True)["params"]
+    _, atts = teacher_scores(model, params, ids, mask, seg, feats, b, chunk=3)
+
+    im_set = jnp.array(rng.randn(b, r, 16).astype(np.float32))
+    s_seq = jnp.array(rng.randn(b, l, 16).astype(np.float32))
+    loss = attention_distillation_loss(
+        im_set, s_seq, jnp.array([6, 4, 5]), jnp.array([10, 7, 8]), atts
+    )
+    assert np.isfinite(float(loss))
