@@ -154,3 +154,40 @@ def prepare_synthetic(args: DataArgs, n_images: int = 8) -> DataArgs:
 
 def example_batch_from_loader(loader):
     return next(iter(loader.epoch(0)))
+
+
+def maybe_create_mesh(args: DataArgs):
+    """--mesh_shape -> Mesh when more than one device is visible, else None.
+
+    The reference reaches multi-device only through torch DataParallel/DDP in
+    the legacy OSCAR drivers (ref:oscar/run_retrieval.py:348-349); here the
+    mesh is first-class in the ALADIN train/test CLIs.
+    """
+    from aladin_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) <= 1:
+        return None
+    mesh = create_mesh(args.mesh_shape)
+    return mesh if mesh.size > 1 else None
+
+
+def shard_state_and_loaders(state, mesh, cfg: ExperimentConfig, *loaders):
+    """Place params per the tp/dp rules, replicate opt state, and point the
+    loaders' transfers at the dp batch sharding. Returns the sharded state."""
+    from aladin_tpu.parallel.sharding import batch_sharding, param_shardings, replicated
+
+    dp = mesh.shape.get("dp", mesh.size)
+    assert cfg.training.bs % dp == 0, (
+        f"batch size {cfg.training.bs} must be divisible by dp={dp}"
+    )
+    state = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, param_shardings(state.params, mesh)),
+        opt_state=jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), state.opt_state
+        ),
+    )
+    sharding = batch_sharding(mesh)
+    for loader in loaders:
+        if loader is not None:
+            loader.sharding = sharding
+    return state

@@ -16,6 +16,7 @@ from aladin_tpu.cli.common import (
     build_model_and_params,
     build_tokenizer,
     example_batch_from_loader,
+    maybe_create_mesh,
     prepare_synthetic,
     restore_training_settings,
     to_data_args,
@@ -25,7 +26,7 @@ from aladin_tpu.data.dataset import RetrievalDataset
 from aladin_tpu.data.pipeline import BatchLoader
 from aladin_tpu.eval.encode import encode_data
 from aladin_tpu.eval.recall import compute_recall, recall_1k_5fold
-from aladin_tpu.eval.retrieval import evaluate_alignment_head
+from aladin_tpu.eval.retrieval import evaluate_alignment_head, fivefold_from_scores
 from aladin_tpu.io.checkpoint import load_checkpoint
 from aladin_tpu.train.step import make_eval_step
 from aladin_tpu.utils.logging import setup_logger
@@ -78,6 +79,9 @@ def main(argv=None) -> int:
     eval_step = make_eval_step(model)
     img_embs, cap_embs, img_lens, cap_lens = encode_data(eval_step, params, loader, logger=logger)
 
+    mesh = maybe_create_mesh(args)
+    use_pallas = jax.default_backend() == "tpu"
+
     logger.info("Matching head:")
     if ns.fivefold:
         m = recall_1k_5fold(img_embs[:, 0, :], cap_embs[:, 0, :])
@@ -86,11 +90,26 @@ def main(argv=None) -> int:
     logger.info(str({k: round(v, 2) for k, v in m.items()}))
 
     logger.info("Alignment head:")
-    i2t, t2i, _ = evaluate_alignment_head(
+    score_fn = None
+    if mesh is not None:
+        from aladin_tpu.parallel.mesh import sharded_mrsw_scores
+
+        def score_fn(ims, caps, il, cl):
+            return sharded_mrsw_scores(
+                mesh, ims, caps, il, cl,
+                aggregation=cfg.training.alignment_mode, use_pallas=use_pallas,
+            )
+
+    i2t, t2i, scores = evaluate_alignment_head(
         img_embs, cap_embs, img_lens, cap_lens,
         aggregation=cfg.training.alignment_mode,
-        use_pallas=jax.default_backend() == "tpu",
+        use_pallas=use_pallas,
+        score_fn=score_fn,
     )
+    if ns.fivefold:
+        # fold the (N, 5N) matrix the same way the matching head folds its
+        # embeddings (extends ref:recall_auxiliary.py:90-130 to this head)
+        i2t, t2i = fivefold_from_scores(scores)
     rsum = i2t["r1"] + i2t["r5"] + i2t["r10"] + t2i["r1"] + t2i["r5"] + t2i["r10"]
     logger.info(
         "Alignment i2t %.1f/%.1f/%.1f (medr %.0f) t2i %.1f/%.1f/%.1f (medr %.0f) rsum %.1f"

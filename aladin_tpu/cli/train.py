@@ -24,8 +24,10 @@ from aladin_tpu.cli.common import (
     build_model_and_params,
     build_tokenizer,
     example_batch_from_loader,
+    maybe_create_mesh,
     prepare_synthetic,
     restore_training_settings,
+    shard_state_and_loaders,
     to_data_args,
 )
 from aladin_tpu.config import load_config
@@ -70,7 +72,12 @@ def main(argv=None) -> int:
         state = load_teacher_params(state, args.load_teacher_model)
         logger.info(f"loaded teacher weights from {args.load_teacher_model}")
 
-    trainer = Trainer(cfg, args, model, state, train_loader, val_loader)
+    mesh = maybe_create_mesh(args)
+    if mesh is not None:
+        state = shard_state_and_loaders(state, mesh, cfg, train_loader, val_loader)
+        logger.info(f"mesh: {dict(mesh.shape)}")
+
+    trainer = Trainer(cfg, args, model, state, train_loader, val_loader, mesh=mesh)
     if args.resume:
         trainer.best_rsum = best
     trainer.fit(start_epoch)

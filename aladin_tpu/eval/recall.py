@@ -30,18 +30,16 @@ from jax import Array
 
 
 @functools.partial(jax.jit, static_argnames=("captions_per_image",))
-def rank_metrics(
-    img_embs: Array, cap_embs: Array, captions_per_image: int = 5
+def ranks_from_score_matrix(
+    scores: Array, captions_per_image: int = 5
 ) -> Tuple[Array, Array]:
-    """(i2t_ranks (N,), t2i_ranks (5N,)) from grouped global embeddings.
-
-    img_embs / cap_embs: (5N, D) buffers with the reference's 5-per-image
-    grouping; image rows are deduplicated internally.
+    """(i2t_ranks (N,), t2i_ranks (5N,)) from a (N_unique_images, 5N) score
+    matrix with the reference's 5-captions-per-image column grouping. The
+    shared rank kernel for both heads (matching dot scores, alignment MrSw
+    scores) - single-chip and mesh-sharded scoring feed the same extraction.
     """
     k = captions_per_image
-    ims = img_embs[::k]  # (N, D) unique images
-    scores = jnp.matmul(ims, cap_embs.T, preferred_element_type=jnp.float32)  # (N, 5N)
-    n = ims.shape[0]
+    n = scores.shape[0]
 
     # i2t: best rank among the image's 5 GT captions.
     gt_cols = jnp.arange(n)[:, None] * k + jnp.arange(k)[None, :]  # (N, 5)
@@ -59,6 +57,21 @@ def rank_metrics(
     return i2t_ranks, t2i_ranks
 
 
+@functools.partial(jax.jit, static_argnames=("captions_per_image",))
+def rank_metrics(
+    img_embs: Array, cap_embs: Array, captions_per_image: int = 5
+) -> Tuple[Array, Array]:
+    """(i2t_ranks (N,), t2i_ranks (5N,)) from grouped global embeddings.
+
+    img_embs / cap_embs: (5N, D) buffers with the reference's 5-per-image
+    grouping; image rows are deduplicated internally.
+    """
+    k = captions_per_image
+    ims = img_embs[::k]  # (N, D) unique images
+    scores = jnp.matmul(ims, cap_embs.T, preferred_element_type=jnp.float32)  # (N, 5N)
+    return ranks_from_score_matrix(scores, k)
+
+
 def recall_metrics(ranks: np.ndarray) -> Dict[str, float]:
     """R@K / medr / meanr from a rank array (ref:recall_auxiliary.py:60-65)."""
     ranks = np.asarray(ranks)
@@ -71,11 +84,7 @@ def recall_metrics(ranks: np.ndarray) -> Dict[str, float]:
     }
 
 
-def compute_recall(img_embs, cap_embs, captions_per_image: int = 5) -> Dict[str, float]:
-    """Both directions + rsum (ref:recall_auxiliary.py:72-86,133-148)."""
-    i2t_ranks, t2i_ranks = rank_metrics(
-        jnp.asarray(img_embs), jnp.asarray(cap_embs), captions_per_image
-    )
+def _assemble(i2t_ranks, t2i_ranks) -> Dict[str, float]:
     m_i2t = recall_metrics(np.asarray(i2t_ranks))
     m_t2i = recall_metrics(np.asarray(t2i_ranks))
     out = {f"i2t_{k}": v for k, v in m_i2t.items()}
@@ -84,6 +93,19 @@ def compute_recall(img_embs, cap_embs, captions_per_image: int = 5) -> Dict[str,
         m_i2t["r1"] + m_i2t["r5"] + m_i2t["r10"] + m_t2i["r1"] + m_t2i["r5"] + m_t2i["r10"]
     )
     return out
+
+
+def compute_recall(img_embs, cap_embs, captions_per_image: int = 5) -> Dict[str, float]:
+    """Both directions + rsum (ref:recall_auxiliary.py:72-86,133-148)."""
+    return _assemble(*rank_metrics(
+        jnp.asarray(img_embs), jnp.asarray(cap_embs), captions_per_image
+    ))
+
+
+def compute_recall_from_scores(scores, captions_per_image: int = 5) -> Dict[str, float]:
+    """compute_recall from a precomputed (N_unique_images, 5N) score matrix
+    (e.g. a mesh-sharded matmul from parallel.mesh.sharded_matching_scores)."""
+    return _assemble(*ranks_from_score_matrix(jnp.asarray(scores), captions_per_image))
 
 
 def recall_1k_5fold(img_embs, cap_embs, fold: int = 5000) -> Dict[str, float]:

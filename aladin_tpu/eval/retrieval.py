@@ -20,7 +20,6 @@ Semantics preserved:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -28,23 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from aladin_tpu.eval.recall import ranks_from_score_matrix as _ranks_from_scores
 from aladin_tpu.eval.recall import recall_metrics
-
-
-@functools.partial(jax.jit, static_argnames=("captions_per_image",))
-def _ranks_from_scores(scores: Array, captions_per_image: int = 5):
-    """scores: (N_unique_images, N_captions). Returns (i2t (N,), t2i (5N,))."""
-    k = captions_per_image
-    n = scores.shape[0]
-    gt_cols = jnp.arange(n)[:, None] * k + jnp.arange(k)[None, :]
-    gt_scores = jnp.take_along_axis(scores, gt_cols, axis=1)
-    i2t = (scores[:, None, :] > gt_scores[:, :, None]).sum(axis=2).min(axis=1)
-
-    t = scores.T  # (5N, N)
-    gt_img = jnp.arange(t.shape[0]) // k
-    gt_s = jnp.take_along_axis(t, gt_img[:, None], axis=1)
-    t2i = (t > gt_s).sum(axis=1)
-    return i2t, t2i
 
 
 def i2t_from_scores(
@@ -144,3 +128,38 @@ def evaluate_alignment_head(
     i2t = i2t_from_scores(scores, k, ndcg_scorer)
     t2i = t2i_from_scores(scores, k, ndcg_scorer)
     return i2t, t2i, scores
+
+
+def fivefold_from_scores(
+    scores,
+    captions_per_image: int = 5,
+    n_folds: int = 5,
+    ndcg_scorer=None,
+) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """5 x 1k-fold protocol on a full (N_im, N_cap) alignment score matrix.
+
+    The reference only applies 5-fold semantics to the matching head
+    (ref:alad/recall_auxiliary.py:90-130: 5 consecutive 1k chunks of the 5k
+    set, metrics averaged); this extends the identical fold layout to the
+    alignment head by slicing the diagonal (images-fold x captions-fold)
+    blocks of the precomputed matrix - no re-scoring per fold.
+    """
+    n_im = scores.shape[0]
+    k = captions_per_image
+    fold_im = n_im // n_folds
+    scores = np.asarray(scores)
+    keys = ("r1", "r5", "r10", "medr", "meanr", "ndcg_rougel", "ndcg_spice")
+    acc_i2t = {key: 0.0 for key in keys}
+    acc_t2i = {key: 0.0 for key in keys}
+    for f in range(n_folds):
+        blk = scores[f * fold_im : (f + 1) * fold_im,
+                     f * fold_im * k : (f + 1) * fold_im * k]
+        i2t = i2t_from_scores(blk, k, ndcg_scorer, fold_index=f)
+        t2i = t2i_from_scores(blk, k, ndcg_scorer, fold_index=f)
+        for key in keys:
+            acc_i2t[key] += i2t[key]
+            acc_t2i[key] += t2i[key]
+    return (
+        {key: v / n_folds for key, v in acc_i2t.items()},
+        {key: v / n_folds for key, v in acc_t2i.items()},
+    )

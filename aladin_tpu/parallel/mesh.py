@@ -7,9 +7,17 @@ with Python loops. The TPU-native layout:
   * training: 2-D mesh (dp, tp) - batch over dp, attention-head/MLP tensor
     parallelism over tp; XLA inserts the all-reduces over ICI;
   * evaluation: the retrieval corpus (the workload's "long axis",
-    SURVEY.md S5.7) shards over all devices - each device scores its caption
-    column block against replicated images; no collectives on the hot path,
-    one all-gather to assemble the (N_im, N_cap) matrix at the end.
+    SURVEY.md S5.7) shards over all devices via ``shard_map`` - each device
+    scores its caption column block against replicated images with the SAME
+    per-device code as the single-chip path (the fused Pallas MrSw kernel on
+    TPU, the XLA blockwise scorer otherwise); no collectives on the hot
+    path, one all-gather to assemble the (N_im, N_cap) matrix at the end.
+
+shard_map (not jit + out_shardings) is load-bearing for the Pallas path:
+pallas_call has no SPMD partitioning rule, so under plain jit XLA would
+either fail to partition it or replicate the full corpus product per device.
+Inside shard_map each device sees only its local caption block and the
+kernel runs unmodified.
 """
 
 from __future__ import annotations
@@ -41,11 +49,15 @@ def parse_mesh_shape(spec: str, n_devices: Optional[int] = None) -> Dict[str, in
 
 
 def create_mesh(spec: str = "dp=-1", devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """Mesh from a "dp=4,tp=2" spec. An explicit shape smaller than the host's
+    device count uses the first prod(shape) devices (e.g. "dp=1" forces an
+    unsharded run on a multi-device host)."""
+    devices = list(devices if devices is not None else jax.devices())
     axes = parse_mesh_shape(spec, len(devices))
     shape = tuple(axes.values())
-    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
-    dev_array = np.asarray(devices).reshape(shape)
+    n = int(np.prod(shape))
+    assert n <= len(devices), (shape, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(shape)
     return Mesh(dev_array, tuple(axes.keys()))
 
 
@@ -62,16 +74,26 @@ def sharded_mrsw_scores(
     s_len: Array,
     aggregation: str = "MrSw",
     use_pallas: bool = True,
+    interpret: Optional[bool] = None,
+    compute_dtype=jnp.bfloat16,
 ) -> Array:
     """(N_im, N_cap) alignment scores with the caption axis sharded over the
     whole mesh. Images replicate; each device scores its caption block
-    locally (no collectives until the output is read)."""
+    locally (no collectives until the output is read).
+
+    ``interpret`` forces the Pallas kernel's interpret mode (for CPU-mesh
+    tests); default: interpret off on TPU, XLA fallback elsewhere.
+    """
     n_dev = mesh.size
     axes = _flat_axes(mesh)
     n_cap = s_seq.shape[0]
     pad = (-n_cap) % (n_dev * 128)
     s_seq = jnp.pad(s_seq, ((0, pad), (0, 0), (0, 0)))
     s_len = jnp.pad(s_len, (0, pad), constant_values=4)
+
+    on_tpu = jax.default_backend() == "tpu"
+    pallas_interpret = (not on_tpu) if interpret is None else interpret
+    take_pallas = aggregation == "MrSw" and use_pallas and (on_tpu or pallas_interpret)
 
     rep = NamedSharding(mesh, P())
     cap_sh = NamedSharding(mesh, P(axes))
@@ -80,16 +102,24 @@ def sharded_mrsw_scores(
     s_seq = jax.device_put(s_seq, cap_sh)
     s_len = jax.device_put(s_len, cap_sh)
 
+    @jax.jit
     @functools.partial(
-        jax.jit,
-        out_shardings=NamedSharding(mesh, P(None, axes)),
-        static_argnames=(),
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axes), P(), P(axes)),
+        out_specs=P(None, axes),
+        # pallas_call carries no varying-mesh-axes metadata; the body is
+        # embarrassingly parallel (no collectives), so the check is vacuous
+        check_vma=False,
     )
     def score(ims, caps, il, sl):
-        if aggregation == "MrSw" and use_pallas and jax.default_backend() == "tpu":
+        if take_pallas:
             from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
 
-            return mrsw_scores_pallas(ims, caps, il, sl)
+            return mrsw_scores_pallas(
+                ims, caps, il, sl, interpret=pallas_interpret,
+                compute_dtype=compute_dtype,
+            )
         from aladin_tpu.ops.alignment import score_all_pairs
 
         return score_all_pairs(ims, caps, il, sl, aggregation, 128)
@@ -108,7 +138,10 @@ def sharded_matching_scores(mesh: Mesh, img_glob: Array, cap_glob: Array) -> Arr
     img_glob = jax.device_put(img_glob, NamedSharding(mesh, P()))
     cap_glob = jax.device_put(cap_glob, NamedSharding(mesh, P(axes)))
 
-    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(None, axes)))
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(axes)), out_specs=P(None, axes)
+    )
     def score(a, b):
         return jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
 

@@ -63,7 +63,8 @@ def param_shardings(params: Any, mesh: Mesh):
 
 def batch_sharding(mesh: Mesh):
     """Shard the leading (batch) axis over dp, replicate over tp."""
-    return NamedSharding(mesh, P("dp"))
+    axis = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))
 
 
 def replicated(mesh: Mesh):

@@ -47,6 +47,7 @@ class Trainer:
         val_loader,
         ndcg_scorer=None,
         use_pallas: Optional[bool] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.args = args
@@ -55,6 +56,7 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.ndcg_scorer = ndcg_scorer
+        self.mesh = mesh
         self.use_pallas = (
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
@@ -117,7 +119,16 @@ class Trainer:
             self.eval_step, self.state.params["model"], self.val_loader, logger=self.logger,
         )
         self.logger.info("Evaluating matching head...")
-        m = compute_recall(img_embs[:, 0, :], cap_embs[:, 0, :])
+        if self.mesh is not None:
+            from aladin_tpu.eval.recall import compute_recall_from_scores
+            from aladin_tpu.parallel.mesh import sharded_matching_scores
+
+            scores = sharded_matching_scores(
+                self.mesh, img_embs[::5, 0, :], cap_embs[:, 0, :]
+            )
+            m = compute_recall_from_scores(np.asarray(scores))
+        else:
+            m = compute_recall(img_embs[:, 0, :], cap_embs[:, 0, :])
         for k in ("r1", "r5", "r10", "r1i", "r5i", "r10i"):
             src = {
                 "r1": "i2t_r1", "r5": "i2t_r5", "r10": "i2t_r10",
@@ -134,11 +145,23 @@ class Trainer:
 
         if "alignment" in self.cfg.training.loss_types:
             self.logger.info("Evaluating alignment head...")
+            score_fn = None
+            if self.mesh is not None:
+                from aladin_tpu.parallel.mesh import sharded_mrsw_scores
+
+                def score_fn(ims, caps, il, cl):
+                    return sharded_mrsw_scores(
+                        self.mesh, ims, caps, il, cl,
+                        aggregation=self.cfg.training.alignment_mode,
+                        use_pallas=self.use_pallas,
+                    )
+
             i2t, t2i, _ = evaluate_alignment_head(
                 img_embs, cap_embs, img_lens, cap_lens,
                 aggregation=self.cfg.training.alignment_mode,
                 use_pallas=self.use_pallas,
                 ndcg_scorer=self.ndcg_scorer,
+                score_fn=score_fn,
             )
             rsum_align = (
                 i2t["r1"] + i2t["r5"] + i2t["r10"] + t2i["r1"] + t2i["r5"] + t2i["r10"]
