@@ -138,8 +138,10 @@ def build_loaders(tokenizer, args: DataArgs, cfg: ExperimentConfig,
     train_ds = RetrievalDataset(tokenizer, args, train_split, is_train=True)
     # NOTE: reference builds the val set with is_train=True (S2.6(10))
     val_ds = RetrievalDataset(tokenizer, args, val_split, is_train=True)
-    train_loader = BatchLoader(train_ds, bs, shuffle=True, seed=args.seed)
-    val_loader = BatchLoader(val_ds, bs, shuffle=False, drop_last=False)
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, seed=args.seed,
+                               num_threads=args.num_workers)
+    val_loader = BatchLoader(val_ds, bs, shuffle=False, drop_last=False,
+                             num_threads=args.num_workers)
     return train_loader, val_loader
 
 

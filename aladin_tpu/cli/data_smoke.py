@@ -32,15 +32,18 @@ def main(argv=None) -> int:
     tokenizer = build_tokenizer(args)
     for native in (True, False):
         ds = RetrievalDataset(tokenizer, args, "train", is_train=True, use_native_io=native)
-        loader = BatchLoader(ds, ns.batch_size, shuffle=True)
-        n = 0
-        t0 = time.time()
-        for _ in range(ns.epochs):
-            for batch in loader.epoch(0):
-                n += batch.txt_ids.shape[0]
-        dt = time.time() - t0
         mode = "native" if (native and ds._native is not None) else "python"
-        print(f"[{mode}] {n} samples in {dt:.2f}s -> {n / dt:.0f} samples/s")
+        # thread-pool scaling sweep: input-bound vs compute-bound is decided
+        # by comparing the best samples/s here against the train-step rate
+        for threads in sorted({1, args.num_workers}):
+            loader = BatchLoader(ds, ns.batch_size, shuffle=True, num_threads=threads)
+            n = 0
+            t0 = time.time()
+            for _ in range(ns.epochs):
+                for batch in loader.epoch(0):
+                    n += batch.txt_ids.shape[0]
+            dt = time.time() - t0
+            print(f"[{mode} x{threads} threads] {n} samples in {dt:.2f}s -> {n / dt:.0f} samples/s")
     return 0
 
 

@@ -10,9 +10,7 @@ single compiled program.
 
 from __future__ import annotations
 
-import queue
-import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np
@@ -75,21 +73,27 @@ class BatchLoader:
             yield idx
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
-        """Prefetching iterator over one epoch."""
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        """Prefetching iterator over one epoch.
 
-        def producer():
-            try:
-                for idx in self._index_batches(epoch):
-                    q.put(self.dataset.collate(idx))
-            finally:
-                q.put(stop)
+        ``num_threads`` workers tensorize batches concurrently (the dataset's
+        readers are thread-safe: pread-based native IO, thread-local TSV
+        handles); results are consumed in order, with at most
+        ``num_threads + prefetch`` batches in flight so memory stays bounded.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield batch_from_numpy(item, self.sharding)
+        idx_iter = self._index_batches(epoch)
+        if self.num_threads <= 1:
+            for idx in idx_iter:
+                yield batch_from_numpy(self.dataset.collate(idx), self.sharding)
+            return
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            inflight: "deque" = deque()
+            for idx in idx_iter:
+                inflight.append(pool.submit(self.dataset.collate, idx))
+                if len(inflight) >= self.num_threads + self.prefetch:
+                    yield batch_from_numpy(inflight.popleft().result(), self.sharding)
+            while inflight:
+                yield batch_from_numpy(inflight.popleft().result(), self.sharding)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import base64
 import os
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -23,9 +24,8 @@ class TSVFile:
     def __init__(self, tsv_file: str, generate_lineidx: bool = True):
         self.tsv_file = tsv_file
         self.lineidx_file = os.path.splitext(tsv_file)[0] + ".lineidx"
-        self._fp = None
+        self._tls = threading.local()
         self._lineidx: Optional[List[int]] = None
-        self._pid: Optional[int] = None
         if not os.path.isfile(self.lineidx_file) and generate_lineidx:
             self._generate_lineidx()
 
@@ -39,14 +39,17 @@ class TSVFile:
         with open(self.lineidx_file, "w") as f:
             f.write("\n".join(str(o) for o in offsets) + "\n")
 
-    def _ensure_open(self) -> None:
-        if self._fp is None:
-            self._fp = open(self.tsv_file, "rb")
-            self._pid = os.getpid()
-        if self._pid != os.getpid():
-            # forked worker: re-open so file positions don't interleave
-            self._fp = open(self.tsv_file, "rb")
-            self._pid = os.getpid()
+    def _ensure_open(self):
+        """Per-thread AND per-process file handle: seek+readline share a file
+        position, so the handle must never be shared across loader threads
+        (thread pool) or forked workers (the reference's pid-reopen guard,
+        ref:tsv_file.py:77-85; the surviving thread of a fork keeps its
+        thread-local entry, hence the explicit pid check)."""
+        fp = getattr(self._tls, "fp", None)
+        if fp is None or getattr(self._tls, "pid", None) != os.getpid():
+            fp = self._tls.fp = open(self.tsv_file, "rb")
+            self._tls.pid = os.getpid()
+        return fp
 
     def _ensure_lineidx(self) -> None:
         if self._lineidx is None:
@@ -58,15 +61,16 @@ class TSVFile:
         return len(self._lineidx)
 
     def seek(self, idx: int) -> List[str]:
-        self._ensure_open()
+        fp = self._ensure_open()
         self._ensure_lineidx()
-        self._fp.seek(self._lineidx[idx])
-        return self._fp.readline().decode("utf-8").rstrip("\n").split("\t")
+        fp.seek(self._lineidx[idx])
+        return fp.readline().decode("utf-8").rstrip("\n").split("\t")
 
     def close(self) -> None:
-        if self._fp is not None:
-            self._fp.close()
-            self._fp = None
+        fp = getattr(self._tls, "fp", None)
+        if fp is not None:
+            fp.close()
+            self._tls.fp = None
 
     def __len__(self) -> int:
         return self.num_rows()

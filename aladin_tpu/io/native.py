@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,13 +25,20 @@ def _load(build_if_missing: bool = True):
     if _lib is not None:
         return _lib
     path = os.path.abspath(_LIB_PATH)
-    if not os.path.exists(path) and build_if_missing:
+    src = os.path.join(os.path.dirname(path), "tsv_reader.cpp")
+    stale = (
+        os.path.exists(path)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if (not os.path.exists(path) or stale) and build_if_missing:
         try:
             subprocess.run(
                 ["make", "-C", os.path.dirname(path)], check=True, capture_output=True
             )
         except Exception:
-            return None
+            if not os.path.exists(path):
+                return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
@@ -59,7 +67,12 @@ def available() -> bool:
 
 
 class NativeFeatureReader:
-    """Random-access region-feature reader over (features.tsv, .lineidx)."""
+    """Random-access region-feature reader over (features.tsv, .lineidx).
+
+    Thread- and fork-safe: the C side reads via pread (no shared file
+    position, thread_local scratch), and the float output buffer here is
+    thread-local - one reader instance serves the loader's whole thread pool.
+    """
 
     def __init__(self, tsv_path: str, max_floats: int = 200 * 2054):
         lib = _load()
@@ -74,28 +87,26 @@ class NativeFeatureReader:
         self._h = lib.aladin_tsv_open(tsv_path.encode(), idx_path.encode())
         if not self._h:
             raise IOError(f"failed to open {tsv_path}")
-        self._buf = np.empty(max_floats, np.float32)
-        self._pid = os.getpid()
+        self._max_floats = max_floats
+        self._tls = threading.local()
         self._paths = (tsv_path, idx_path)
 
     def num_rows(self) -> int:
         return int(self._lib.aladin_tsv_num_rows(self._h))
 
     def read_features(self, idx: int) -> np.ndarray:
-        if os.getpid() != self._pid:  # fork safety, like TSVFile
-            self._h = self._lib.aladin_tsv_open(
-                self._paths[0].encode(), self._paths[1].encode()
-            )
-            self._pid = os.getpid()
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = self._tls.buf = np.empty(self._max_floats, np.float32)
         nb = ctypes.c_int64(0)
         n = self._lib.aladin_tsv_read_features(
-            self._h, idx, self._buf.ctypes.data_as(ctypes.c_void_p), self._buf.size,
+            self._h, idx, buf.ctypes.data_as(ctypes.c_void_p), buf.size,
             ctypes.byref(nb),
         )
         if n < 0:
             raise IOError(f"row {idx}: decode failed")
         nb = nb.value
-        return self._buf[:n].reshape(nb, -1).copy()
+        return buf[:n].reshape(nb, -1).copy()
 
     def close(self):
         if self._h:

@@ -78,37 +78,61 @@ class Trainer:
         return self.state
 
     def train_epoch(self, epoch: int):
+        """One epoch with NO per-step device->host syncs.
+
+        Each step only dispatches the jitted update and buffers the metric
+        handles; a single jax.device_get at every log_step boundary fetches
+        the whole window at once (through the axon relay one fetch costs
+        ~25 ms - per-step fetching was >50% overhead at B=32). TensorBoard
+        still receives every step's scalars, written at flush time; the
+        global step is tracked on host (state.step is only read on device).
+        """
         batch_time, data_time = AverageMeter(), AverageMeter()
         collector = LogCollector()
-        end = time.time()
         epoch_dev = jnp.int32(epoch)
-        for i, batch in enumerate(self.train_loader.epoch(epoch)):
-            data_time.update(time.time() - end)
-            self.state, metrics = self.train_step(self.state, batch, epoch_dev, self.rng)
-            step = int(self.state.step)
-            loss = float(metrics["loss"])
-            collector.update("loss", loss, n=1)
-            for k, v in metrics.items():
-                if k != "loss":
+        step0 = int(self.state.step)  # one fetch per epoch
+        pending = []  # [(global_step, batch_idx, device metrics)]
+        window_start = time.time()
+
+        def flush(i):
+            nonlocal window_start
+            if not pending:
+                return
+            fetched = jax.device_get([m for _, _, m in pending])  # THE sync
+            elapsed = time.time() - window_start
+            batch_time.update(elapsed / len(pending), n=len(pending))
+            for (gstep, bi, _), m in zip(pending, fetched):
+                for k, v in m.items():
                     collector.update(k, float(v), n=1)
-            batch_time.update(time.time() - end)
+                self.tb.add_scalar("epoch", epoch, gstep)
+                self.tb.add_scalar("step", bi, gstep)
+                self.tb.add_scalar("lr", float(self.lr_schedule(gstep)), gstep)
+                collector.tb_log(self.tb, step=gstep)
+            last = pending[-1][0]
+            self.tb.add_scalar("batch_time", batch_time.val, last)
+            self.tb.add_scalar("data_time", data_time.val, last)
+            pending.clear()
+            window_start = time.time()
+            self.logger.info(
+                f"Epoch: [{epoch}][{i}/{len(self.train_loader)}]\t{collector}\t"
+                f"Time {batch_time}\tData {data_time}"
+            )
+
+        end = time.time()
+        for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            data_time.update(time.time() - end, n=1)
+            self.state, metrics = self.train_step(self.state, batch, epoch_dev, self.rng)
+            gstep = step0 + i + 1
+            pending.append((gstep, i, metrics))
             end = time.time()
 
-            if step % self.args.log_step == 0:
-                self.logger.info(
-                    f"Epoch: [{epoch}][{i}/{len(self.train_loader)}]\t{collector}\t"
-                    f"Time {batch_time}\tData {data_time}"
-                )
-            self.tb.add_scalar("epoch", epoch, step)
-            self.tb.add_scalar("step", i, step)
-            self.tb.add_scalar("batch_time", batch_time.val, step)
-            self.tb.add_scalar("data_time", data_time.val, step)
-            self.tb.add_scalar("lr", float(self.lr_schedule(step)), step)
-            collector.tb_log(self.tb, step=step)
-
-            if self.args.val_step > 0 and step % self.args.val_step == 0:
+            if gstep % self.args.log_step == 0:
+                flush(i)
+            if self.args.val_step > 0 and gstep % self.args.val_step == 0:
+                flush(i)
                 rsum = self.validate()
                 self._checkpoint(epoch, rsum)
+        flush(max(len(self.train_loader) - 1, 0))
 
     # ------------------------------------------------------------------
     def validate(self) -> float:

@@ -8,6 +8,9 @@
 //
 // Build: make -C native   (produces libaladin_io.so)
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -112,22 +115,28 @@ int64_t aladin_build_lineidx(const char* tsv_path, const char* idx_path) {
 // row reader
 // ---------------------------------------------------------------------------
 
+// Reads go through pread on a raw fd: no shared file position and no shared
+// scratch buffer, so one handle is safe from ANY number of loader threads
+// (and from forked children - pread carries its own offset). The reference's
+// reader needs a pid-aware reopen for fork safety (ref:oscar/utils/
+// tsv_file.py:77-85); pread makes that machinery unnecessary.
 struct AladinTsv {
-  FILE* f;
+  int fd;
+  int64_t file_size;
   std::vector<int64_t> offsets;
-  std::string linebuf;  // reused across reads
 };
 
 void* aladin_tsv_open(const char* tsv_path, const char* idx_path) {
-  FILE* f = fopen(tsv_path, "rb");
-  if (!f) return nullptr;
+  int fd = open(tsv_path, O_RDONLY);
+  if (fd < 0) return nullptr;
   FILE* idx = fopen(idx_path, "r");
   if (!idx) {
-    fclose(f);
+    close(fd);
     return nullptr;
   }
   auto* t = new AladinTsv();
-  t->f = f;
+  t->fd = fd;
+  t->file_size = lseek(fd, 0, SEEK_END);
   long long off;
   while (fscanf(idx, "%lld", &off) == 1) t->offsets.push_back(off);
   fclose(idx);
@@ -141,13 +150,14 @@ int64_t aladin_tsv_num_rows(void* handle) {
 void aladin_tsv_close(void* handle) {
   if (!handle) return;
   auto* t = (AladinTsv*)handle;
-  fclose(t->f);
+  close(t->fd);
   delete t;
 }
 
 // Read row `idx`, take the LAST tab-separated field as base64-encoded
 // float32 data, decode into `out` (capacity `out_cap` floats). `num_boxes`
 // receives field[1] parsed as int. Returns number of floats written, or -1.
+// Thread-safe: pread + a thread_local line buffer.
 int64_t aladin_tsv_read_features(void* handle, int64_t idx, float* out,
                                  int64_t out_cap, int64_t* num_boxes) {
   if (!handle) return -1;
@@ -156,20 +166,16 @@ int64_t aladin_tsv_read_features(void* handle, int64_t idx, float* out,
   int64_t start = t->offsets[idx];
   int64_t end = ((size_t)(idx + 1) < t->offsets.size())
                     ? t->offsets[idx + 1]
-                    : -1;
-  if (fseeko(t->f, start, SEEK_SET) != 0) return -1;
+                    : t->file_size;
+  if (end <= start) return -1;
 
-  std::string& line = t->linebuf;
-  line.clear();
-  if (end > 0) {
-    line.resize(end - start);
-    if (fread(&line[0], 1, line.size(), t->f) != line.size()) return -1;
-  } else {
-    char chunk[1 << 16];
-    while (fgets(chunk, sizeof(chunk), t->f)) {
-      line += chunk;
-      if (!line.empty() && line.back() == '\n') break;
-    }
+  static thread_local std::string line;
+  line.resize(end - start);
+  int64_t got = 0;
+  while (got < (int64_t)line.size()) {
+    ssize_t n = pread(t->fd, &line[got], line.size() - got, start + got);
+    if (n <= 0) return -1;
+    got += n;
   }
   while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
     line.pop_back();

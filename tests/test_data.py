@@ -156,3 +156,37 @@ def test_pipeline_prefetch(vocab_file, synthetic_root):
     # shuffling differs across epochs
     b2 = next(iter(loader.epoch(1)))
     assert (np.asarray(b.txt_ids) != np.asarray(b2.txt_ids)).any()
+
+
+def test_loader_thread_pool_deterministic(vocab_file, synthetic_root):
+    """The thread pool changes throughput, never content or order: byte-equal
+    batches for 1 vs 4 workers (exercises the thread-safe readers)."""
+    from aladin_tpu.data.pipeline import BatchLoader
+
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ds = RetrievalDataset(tok, make_args(synthetic_root), "train", is_train=True)
+    solo = list(BatchLoader(ds, 8, shuffle=True, seed=3, num_threads=1).epoch(0))
+    pooled = list(BatchLoader(ds, 8, shuffle=True, seed=3, num_threads=4).epoch(0))
+    assert len(solo) == len(pooled)
+    for a, b in zip(solo, pooled):
+        np.testing.assert_array_equal(np.asarray(a.txt_ids), np.asarray(b.txt_ids))
+        np.testing.assert_array_equal(np.asarray(a.img_feats), np.asarray(b.img_feats))
+
+
+def test_native_reader_thread_safety(synthetic_root):
+    """Hammer one NativeFeatureReader from 8 threads; every read must match
+    the single-threaded ground truth (pread + thread-local buffers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aladin_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    reader = native.NativeFeatureReader(os.path.join(synthetic_root, "features.tsv"))
+    n = reader.num_rows()
+    expected = [reader.read_features(i) for i in range(n)]
+    idxs = [i % n for i in range(512)]
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(reader.read_features, idxs))
+    for i, got in zip(idxs, results):
+        np.testing.assert_array_equal(got, expected[i])
