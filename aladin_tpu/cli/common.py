@@ -51,6 +51,11 @@ def add_shared_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--reinitialize-scheduler", dest="reinitialize_scheduler", action="store_true")
     p.add_argument("--config", default="")
     p.add_argument("--mesh_shape", default="dp=-1")
+    p.add_argument("--ndcg", action="store_true", default=False,
+                   help="enable NDCG@25 scoring from precomputed relevance "
+                        "matrices (<data_dir>/relevances or the config's "
+                        "dataset.data root); off by default like the "
+                        "reference (SURVEY.md S2.6(11))")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--synthetic", action="store_true",
                    help="build a tiny on-disk synthetic dataset + random backbone (no COCO/ckpt needed)")
@@ -156,6 +161,28 @@ def prepare_synthetic(args: DataArgs, n_images: int = 8) -> DataArgs:
 
 def example_batch_from_loader(loader):
     return next(iter(loader.epoch(0)))
+
+
+def build_ndcg_scorer(cfg: ExperimentConfig, args: DataArgs, split: str, n_queries: int):
+    """DCG scorer over whichever relevance matrices exist on disk, else None.
+
+    Looks in <data_dir>/relevances first, then the config's dataset.data root
+    (the reference layout, ref:alad/evaluate_utils/dcg.py:11-17). Methods are
+    reported in (rougeL, spice) order (ref:alad/evaluation.py:225-228)."""
+    from aladin_tpu.eval.dcg import DCG
+
+    candidates = [
+        os.path.join(args.data_dir, "relevances"),
+        os.path.join(cfg.dataset.data, cfg.dataset.name, "relevances"),
+    ]
+    for rel_dir in candidates:
+        methods = [
+            m for m in ("rougeL", "spice")
+            if os.path.exists(os.path.join(rel_dir, f"{cfg.dataset.name}-{split}-{m}.npy"))
+        ]
+        if methods:
+            return DCG(cfg, n_queries, split, relevance_methods=methods, rel_dir=rel_dir)
+    return None
 
 
 def maybe_create_mesh(args: DataArgs):

@@ -90,6 +90,12 @@ def main(argv=None) -> int:
     logger.info(str({k: round(v, 2) for k, v in m.items()}))
 
     logger.info("Alignment head:")
+    ndcg_scorer = None
+    if args.ndcg:
+        from aladin_tpu.cli.common import build_ndcg_scorer
+
+        ndcg_scorer = build_ndcg_scorer(cfg, args, ns.test_split, len(test_ds))
+        logger.info(f"ndcg scorer: {ndcg_scorer.relevance_methods if ndcg_scorer else None}")
     score_fn = None
     if mesh is not None:
         from aladin_tpu.parallel.mesh import sharded_mrsw_scores
@@ -105,16 +111,20 @@ def main(argv=None) -> int:
         aggregation=cfg.training.alignment_mode,
         use_pallas=use_pallas,
         score_fn=score_fn,
+        ndcg_scorer=None if ns.fivefold else ndcg_scorer,
     )
     if ns.fivefold:
         # fold the (N, 5N) matrix the same way the matching head folds its
         # embeddings (extends ref:recall_auxiliary.py:90-130 to this head)
-        i2t, t2i = fivefold_from_scores(scores)
+        i2t, t2i = fivefold_from_scores(scores, ndcg_scorer=ndcg_scorer)
     rsum = i2t["r1"] + i2t["r5"] + i2t["r10"] + t2i["r1"] + t2i["r5"] + t2i["r10"]
     logger.info(
-        "Alignment i2t %.1f/%.1f/%.1f (medr %.0f) t2i %.1f/%.1f/%.1f (medr %.0f) rsum %.1f"
+        "Alignment i2t %.1f/%.1f/%.1f (medr %.0f) t2i %.1f/%.1f/%.1f (medr %.0f) rsum %.1f "
+        "ndcg_rouge %.4f ndcg_spice %.4f"
         % (i2t["r1"], i2t["r5"], i2t["r10"], i2t["medr"],
-           t2i["r1"], t2i["r5"], t2i["r10"], t2i["medr"], rsum)
+           t2i["r1"], t2i["r5"], t2i["r10"], t2i["medr"], rsum,
+           i2t["ndcg_rougel"] + t2i["ndcg_rougel"],
+           i2t["ndcg_spice"] + t2i["ndcg_spice"])
     )
     return 0
 

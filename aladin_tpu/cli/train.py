@@ -77,7 +77,15 @@ def main(argv=None) -> int:
         state = shard_state_and_loaders(state, mesh, cfg, train_loader, val_loader)
         logger.info(f"mesh: {dict(mesh.shape)}")
 
-    trainer = Trainer(cfg, args, model, state, train_loader, val_loader, mesh=mesh)
+    ndcg_scorer = None
+    if args.ndcg:
+        from aladin_tpu.cli.common import build_ndcg_scorer
+
+        ndcg_scorer = build_ndcg_scorer(cfg, args, "minival", len(val_loader.dataset))
+        logger.info(f"ndcg scorer: {ndcg_scorer.relevance_methods if ndcg_scorer else None}")
+
+    trainer = Trainer(cfg, args, model, state, train_loader, val_loader,
+                      mesh=mesh, ndcg_scorer=ndcg_scorer)
     if args.resume:
         trainer.best_rsum = best
     trainer.fit(start_epoch)

@@ -269,3 +269,4 @@ class DataArgs:
     mesh_shape: str = "dp=-1"  # e.g. "dp=4,tp=2"; -1 = all remaining devices
     compute_dtype: str = "bfloat16"
     synthetic: bool = False  # tiny on-disk dataset + random small backbone
+    ndcg: bool = False  # NDCG@25 from precomputed relevance matrices

@@ -65,12 +65,14 @@ class DCG:
     """
 
     def __init__(self, config, n_queries: int, split: str, rank: int = 25,
-                 relevance_methods: Iterable[str] = ("rougeL",)):
+                 relevance_methods: Iterable[str] = ("rougeL",),
+                 rel_dir: str = None):
         self.rank = rank
         self.relevance_methods = list(relevance_methods)
         dataset = config["dataset"]["name"] if isinstance(config, dict) else config.dataset.name
-        root = config["dataset"].get("data", "datasets") if isinstance(config, dict) else config.dataset.data
-        rel_dir = os.path.join(root, dataset, "relevances")
+        if rel_dir is None:
+            root = config["dataset"].get("data", "datasets") if isinstance(config, dict) else config.dataset.data
+            rel_dir = os.path.join(root, dataset, "relevances")
         self.relevances: List[np.memmap] = []
         for m in self.relevance_methods:
             f = os.path.join(rel_dir, f"{dataset}-{split}-{m}.npy")

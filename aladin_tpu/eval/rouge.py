@@ -33,13 +33,18 @@ class Rouge:
         self.beta = beta
 
     def calc_score(self, candidate: List[str], refs: List[str]) -> float:
-        """candidate: [sentence]; refs: [sentence, ...] (whitespace-token)."""
+        """candidate: [sentence]; refs: [sentence, ...].
+
+        Tokenization matches the reference exactly - lowercase then split on
+        single spaces (ref:alad/evaluate_utils/rouge.py:58-62 ".lower()
+        .split(' ')") - so relevance matrices agree on capitalized captions.
+        """
         assert len(candidate) == 1
         assert len(refs) > 0
-        cand_tokens = candidate[0].split()
+        cand_tokens = candidate[0].lower().split(" ")
         prec, rec = [], []
         for ref in refs:
-            ref_tokens = ref.split()
+            ref_tokens = ref.lower().split(" ")
             lcs = _lcs_len(cand_tokens, ref_tokens)
             prec.append(lcs / len(cand_tokens) if cand_tokens else 0.0)
             rec.append(lcs / len(ref_tokens) if ref_tokens else 0.0)

@@ -36,10 +36,14 @@ def save_checkpoint(
     config_dict: Dict[str, Any],
     best_rsum: float,
     is_best_rsum: bool = False,
+    is_best_ndcgspice: bool = False,
     name: str = "checkpoint",
     retries: int = 10,
 ) -> str:
-    """Write <out_dir>/<name>; copy to model_best_rsum on best.
+    """Write <out_dir>/<name>; copy to model_best_rsum / model_best_ndcgspice
+    on the respective best (ref:alad/train.py:552-557 copy-on-best for BOTH
+    gates; the reference's ndcg gate is wired but defect-disabled upstream -
+    here it is live whenever an NDCG scorer is configured).
 
     Saves retry up to 10 times (the reference's blob-storage resilience loop,
     ref:oscar/run_retrieval.py:296-313) - the only failure-recovery mechanism
@@ -74,11 +78,13 @@ def save_checkpoint(
 
     with open(os.path.join(path, "experiment_config.json"), "w") as f:
         json.dump(config_dict, f, indent=2, default=str)
-    if is_best_rsum:
-        best = os.path.join(out_dir, "model_best_rsum")
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+    for flag, tag in ((is_best_rsum, "model_best_rsum"),
+                      (is_best_ndcgspice, "model_best_ndcgspice")):
+        if flag:
+            best = os.path.join(out_dir, tag)
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
     return path
 
 

@@ -67,14 +67,15 @@ class Trainer:
         self.logger = setup_logger("vlpretrain", args.logger_name)
         self.tb = make_tb_writer(args.logger_name)
         self.best_rsum = -1.0
+        self.best_ndcgspice = -1.0
         self.rng = jax.random.PRNGKey(args.seed)
 
     # ------------------------------------------------------------------
     def fit(self, start_epoch: int = 0):
         for epoch in range(start_epoch, self.args.num_epochs):
             self.train_epoch(epoch)
-            rsum = self.validate()
-            self._checkpoint(epoch, rsum)
+            rsum, ndcg = self.validate()
+            self._checkpoint(epoch, rsum, ndcg)
         return self.state
 
     def train_epoch(self, epoch: int):
@@ -130,14 +131,18 @@ class Trainer:
                 flush(i)
             if self.args.val_step > 0 and gstep % self.args.val_step == 0:
                 flush(i)
-                rsum = self.validate()
-                self._checkpoint(epoch, rsum)
+                rsum, ndcg = self.validate()
+                self._checkpoint(epoch, rsum, ndcg)
         flush(max(len(self.train_loader) - 1, 0))
 
     # ------------------------------------------------------------------
-    def validate(self) -> float:
+    def validate(self):
+        """Returns (rsum, spice_ndcg_sum). The ndcg term is the reference's
+        intended-but-disabled gate metric (ref:train.py:514 commented
+        spice_ndcg_sum; validate returns (rsum, 0) upstream) - live here when
+        an ndcg_scorer is wired, 0 otherwise."""
         if self.val_loader is None:
-            return 0.0
+            return 0.0, 0.0
         step = int(self.state.step)
         img_embs, cap_embs, img_lens, cap_lens = encode_data(
             self.eval_step, self.state.params["model"], self.val_loader, logger=self.logger,
@@ -192,20 +197,30 @@ class Trainer:
             )
             for k, v in (("r1", i2t["r1"]), ("r5", i2t["r5"]), ("r10", i2t["r10"]),
                          ("r1i", t2i["r1"]), ("r5i", t2i["r5"]), ("r10i", t2i["r10"]),
-                         ("medr", i2t["medr"]), ("meanr", i2t["meanr"])):
+                         ("medr", i2t["medr"]), ("meanr", i2t["meanr"]),
+                         ("ndcg_rougel", i2t["ndcg_rougel"] + t2i["ndcg_rougel"]),
+                         ("ndcg_spice", i2t["ndcg_spice"] + t2i["ndcg_spice"])):
                 self.tb.add_scalar(f"alignment/{k}", v, step)
             self.tb.add_scalar("rsum", rsum_align, step)
             self.logger.info(
-                "Alignment: i2t %.1f/%.1f/%.1f t2i %.1f/%.1f/%.1f rsum %.1f"
-                % (i2t["r1"], i2t["r5"], i2t["r10"], t2i["r1"], t2i["r5"], t2i["r10"], rsum_align)
+                "Alignment: i2t %.1f/%.1f/%.1f t2i %.1f/%.1f/%.1f rsum %.1f "
+                "ndcg_rouge %.4f ndcg_spice %.4f"
+                % (i2t["r1"], i2t["r5"], i2t["r10"], t2i["r1"], t2i["r5"], t2i["r10"],
+                   rsum_align, i2t["ndcg_rougel"] + t2i["ndcg_rougel"],
+                   i2t["ndcg_spice"] + t2i["ndcg_spice"])
             )
             rsum += rsum_align
-        return rsum
+            ndcg_sum = i2t["ndcg_spice"] + t2i["ndcg_spice"]
+        else:
+            ndcg_sum = 0.0
+        return rsum, ndcg_sum
 
-    def _checkpoint(self, epoch: int, rsum: float):
+    def _checkpoint(self, epoch: int, rsum: float, ndcg_sum: float = 0.0):
         is_best = rsum > self.best_rsum
         self.best_rsum = max(rsum, self.best_rsum)
+        is_best_ndcg = self.ndcg_scorer is not None and ndcg_sum > self.best_ndcgspice
+        self.best_ndcgspice = max(ndcg_sum, self.best_ndcgspice)
         save_checkpoint(
             self.args.logger_name, self.state, epoch + 1, self.cfg.to_dict(),
-            self.best_rsum, is_best_rsum=is_best,
+            self.best_rsum, is_best_rsum=is_best, is_best_ndcgspice=is_best_ndcg,
         )

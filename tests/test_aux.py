@@ -30,6 +30,53 @@ def test_rouge_l_basics():
     assert s2 == 1.0
 
 
+def test_rouge_l_lowercases_like_reference():
+    # ref:alad/evaluate_utils/rouge.py:58-62 lowercases before LCS
+    r = Rouge()
+    assert r.calc_score(["A Dog Runs"], ["a dog runs"]) == 1.0
+
+
+def test_meteor_matches_nltk_on_wordnet_free_inputs():
+    """Our METEOR == nltk's on inputs whose hypothesis fully aligns in the
+    exact+stem stages (where nltk runs without the WordNet corpus)."""
+    from nltk.translate.meteor_score import meteor_score as nltk_meteor
+
+    from aladin_tpu.eval.meteor import meteor_score, single_meteor_score
+
+    cases = [
+        (["a", "cat", "sat", "on", "the", "mat"], ["a", "cat", "sat", "on", "the", "mat"]),
+        (["the", "cat", "sat"], ["sat", "cat", "the"]),  # chunk penalty
+        (["cats", "running", "fast"], ["cat", "runs", "fast"]),  # stem stage
+        (["a", "b", "c", "d", "e", "f"], ["a", "c", "b", "f", "e", "d"]),
+    ]
+    for ref, hyp in cases:
+        ours = single_meteor_score(ref, hyp)
+        theirs = nltk_meteor([ref], hyp)
+        assert abs(ours - theirs) < 1e-12, (ref, hyp, ours, theirs)
+    # multi-reference max + string inputs (old-nltk lower+split preprocess)
+    assert meteor_score(["The cat sat", "zzz yyy"], "the cat sat") == \
+        single_meteor_score("the cat sat", "the cat sat")
+
+
+def test_meteor_hand_computed():
+    from aladin_tpu.eval.meteor import single_meteor_score
+
+    # identical 3-token sentences: P=R=1, fmean=1, 1 chunk, frag=1/3
+    expected = 1.0 * (1 - 0.5 * (1 / 3) ** 3)
+    assert abs(single_meteor_score("a b c", "a b c") - expected) < 1e-12
+    assert single_meteor_score("a b c", "x y z") == 0.0
+
+
+def test_relevance_builder_meteor(tmp_path):
+    img_caps = [["a dog runs fast"], ["a cat sleeps now"], ["a red car drives"]]
+    out = str(tmp_path / "coco-test-meteor.npy")
+    mm = compute_relevances(img_caps, img_caps, out, method="meteor", num_workers=2)
+    assert mm.shape == (3, 3)
+    for i in range(3):
+        assert mm[i, i] > 0.9  # self-match near 1 (frag penalty only)
+        assert mm[i, i] >= mm[i].max() - 1e-9
+
+
 def test_ndcg_math():
     # perfect ranking -> 1.0
     rel = np.array([3.0, 2.0, 1.0, 0.0])

