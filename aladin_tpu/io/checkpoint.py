@@ -104,14 +104,40 @@ def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
 def resume_state(state, path: str):
     """Full resume: params + optimizer state + step (ref:train.py:287-297).
-    Returns (state, start_epoch, best_rsum)."""
-    payload, _ = load_checkpoint(path)
+    Returns (state, start_epoch, best_rsum).
+
+    The optimizer state restores via a TEMPLATED orbax restore against the
+    current state's tree (namedtuple structure preserved, leaf-by-leaf shape
+    check below), so a checkpoint whose optax layout differs from the
+    running configuration (e.g. freeze_teran toggled between save and
+    resume) fails loudly instead of silently transplanting leaves."""
+    path = os.path.abspath(path)
+    template = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": 0,
+        "epoch": 0,
+        "best_rsum": 0.0,
+    }
+    try:
+        payload = ocp.PyTreeCheckpointer().restore(path, item=template)
+    except Exception as e:
+        raise ValueError(
+            f"checkpoint at {path} does not match the current train state "
+            f"(optimizer layout or parameter tree changed since save?): {e}"
+        ) from e
+    for kp, (cur, new) in zip(
+        jax.tree_util.tree_flatten_with_path(template["opt_state"])[0],
+        zip(jax.tree.leaves(template["opt_state"]), jax.tree.leaves(payload["opt_state"])),
+    ):
+        if np.shape(cur) != np.shape(new):
+            raise ValueError(
+                f"opt_state leaf {jax.tree_util.keystr(kp[0])}: checkpoint shape "
+                f"{np.shape(new)} != current {np.shape(cur)}"
+            )
     restored = state.replace(
-        params=jax.tree.map(lambda _, v: v, state.params, payload["params"]),
-        opt_state=jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(state.opt_state),
-            jax.tree.leaves(payload["opt_state"]),
-        ),
+        params=jax.tree.map(lambda _, v: jax.numpy.asarray(v), state.params, payload["params"]),
+        opt_state=jax.tree.map(lambda _, v: jax.numpy.asarray(v), state.opt_state, payload["opt_state"]),
         step=jax.numpy.asarray(payload["step"], jax.numpy.int32),
     )
     return restored, int(payload["epoch"]), float(payload.get("best_rsum", 0.0))

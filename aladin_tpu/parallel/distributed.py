@@ -8,17 +8,21 @@ ref:oscar/utils/misc.py:49-66). The TPU-native equivalents (SURVEY.md S5.8):
   * ``initialize()`` -> jax.distributed.initialize (no-op on one host; on a
     multi-host slice every host calls it before first jax use);
   * rank/world helpers read jax.process_index / process_count;
-  * barriers and metric all-reduce are jitted psum collectives over the
-    mesh - XLA rides ICI intra-slice and DCN across slices; nothing is
-    hand-written.
+  * ``all_reduce_metrics`` reduces host-local scalars across processes via a
+    process-allgather (one tiny global array; XLA emits the cross-host
+    collective over DCN/ICI - nothing hand-written);
+  * ``barrier`` is a sync over all global devices.
+
+Exercised for real by tests/test_distributed.py: a 2-process CPU
+jax.distributed cluster (coordinator on localhost) runs initialize ->
+barrier -> all_reduce_metrics and checks the reduced values.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -42,23 +46,31 @@ def is_main_process() -> bool:
     return get_rank() == 0
 
 
-def all_reduce_metrics(mesh, metrics: dict) -> dict:
-    """Mean-reduce scalar metrics across the mesh (the reference's
-    torch.distributed.all_reduce of eval counters)."""
-    @jax.jit
-    def mean(x):
-        return x  # scalars produced under jit are already globally consistent
+def all_reduce_metrics(metrics: Dict[str, float], op: str = "mean") -> Dict[str, float]:
+    """Reduce HOST-LOCAL scalar metrics across all processes (the
+    reference's torch.distributed.all_reduce of eval counters,
+    ref:run_oscarplus_pretrain.py:477-478).
 
-    # Metrics from a pjit step are replicated scalars; nothing to reduce in
-    # the single-controller model. Provided for API parity; multi-controller
-    # launchers can wrap per-host values through host_local_array helpers.
-    return {k: float(np.asarray(v)) for k, v in metrics.items()}
-
-
-def barrier() -> None:
-    """Host barrier: a tiny collective forces all hosts to sync."""
+    Each process passes its local values (e.g. eval counters over its data
+    shard); every process returns the same reduced dict. Values that are
+    replicated outputs of a pjit step are already global - reduce only
+    genuinely per-host quantities.
+    """
+    assert op in ("mean", "sum"), op
+    items = sorted(metrics.items())
+    local = np.asarray([float(v) for _, v in items], np.float32)
     if jax.process_count() > 1:
-        x = jnp.ones((jax.local_device_count(),))
-        jax.block_until_ready(
-            jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
-        )
+        from jax.experimental import multihost_utils
+
+        stacked = np.asarray(multihost_utils.process_allgather(local))
+        local = stacked.sum(axis=0) if op == "sum" else stacked.mean(axis=0)
+    return {k: float(v) for (k, _), v in zip(items, local)}
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (the reference's
+    torch.distributed.barrier, ref:run_oscarplus_pretrain.py:229,277)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

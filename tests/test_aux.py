@@ -148,6 +148,34 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(state3.params["model"]["extra"]), np.ones((2,)))
 
 
+def test_resume_rejects_mismatched_opt_state(tmp_path, rng):
+    """Resuming into a train state whose optimizer layout differs from the
+    checkpoint must raise, not silently transplant leaves (e.g. freeze_teran
+    toggled between save and resume)."""
+    from aladin_tpu.config import ExperimentConfig
+    from aladin_tpu.io.checkpoint import resume_state, save_checkpoint
+    from aladin_tpu.train.state import create_train_state
+
+    cfg = ExperimentConfig.from_dict(
+        {"training": {"loss-type": "matching", "loss-weights": [1]}}
+    )
+    params = {"w": jnp.array(rng.randn(4, 4).astype(np.float32))}
+    state = create_train_state(cfg, params, 10)
+    save_checkpoint(str(tmp_path), state, epoch=1, config_dict=cfg.to_dict(), best_rsum=0.0)
+
+    # different param tree -> different adam moment tree
+    other = create_train_state(
+        cfg, {"w": jnp.zeros((4, 4)), "extra": jnp.zeros((3,))}, 10
+    )
+    with pytest.raises(ValueError):
+        resume_state(other, str(tmp_path / "checkpoint"))
+
+    # same tree but different leaf shape -> also rejected
+    other2 = create_train_state(cfg, {"w": jnp.zeros((5, 4))}, 10)
+    with pytest.raises(ValueError):
+        resume_state(other2, str(tmp_path / "checkpoint"))
+
+
 def test_joint_tensorizer(tmp_path, rng):
     from aladin_tpu.data.dataset import DisentangledTensorizer
     from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
