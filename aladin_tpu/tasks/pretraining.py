@@ -56,9 +56,14 @@ class BertImgForPreTraining(nn.Module):
 
 def pretraining_loss(mlm_logits: Array, rel_logits: Array,
                      masked_lm_labels: Array, next_sentence_label: Array):
-    """CE(ignore_index=-1) + CE, exactly the reference composition."""
+    """CE(ignore_index=-1) + CE, exactly the reference composition.
+
+    ``masked_lm_labels`` may carry the reference's full-stream layout (text
+    labels then -1 over every image slot, ref:oscar_tsv.py:758); the MLM
+    head only scores text positions, and the image-slot labels are -1 by
+    construction, so the tail is sliced off here."""
     v = mlm_logits.shape[-1]
-    labels = masked_lm_labels.reshape(-1)
+    labels = masked_lm_labels[:, : mlm_logits.shape[1]].reshape(-1)
     logits = mlm_logits.reshape(-1, v)
     active = labels >= 0
     safe = jnp.maximum(labels, 0)
