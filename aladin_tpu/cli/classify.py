@@ -1,0 +1,239 @@
+"""VQA / GQA / NLVR2 task driver - the run_vqa.py / run_gqa.py / run_nlvr.py
+equivalent.
+
+The reference ships three ~1k-LoC scripts that differ only in label space,
+loss, and eval protocol (ref:oscar/run_vqa.py:316-664 train/evaluate/test,
+run_gqa.py, run_nlvr.py); here one driver parameterized by ``--task``
+carries all three:
+
+  * vqa:  3129-way (or fixture-sized) soft-answer classification; loss bce
+    (instance BCE x n_labels) or kl or ce; eval metric = the soft-target
+    score of the argmax answer (ref:run_vqa.py:428-434
+    compute_score_with_logits); ``--do_test`` dumps {question_id, answer}
+    json (ref:run_vqa.py:787-839).
+  * gqa:  single-answer CE; accuracy = exact match (ref:run_gqa.py).
+  * nlvr: pair-choice over (statement, left/right image) streams via
+    ImageBertForMultipleChoice; accuracy (ref:run_nlvr.py).
+
+Smoke mode: ``--synthetic`` builds an on-disk fixture whose questions are
+answerable from the OD tags, so training visibly beats chance.
+
+  python -m aladin_tpu.cli.classify --task vqa --synthetic --epochs 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aladin_tpu.cli.pretrain import make_optimizer
+from aladin_tpu.data.dataset import DisentangledTensorizer
+from aladin_tpu.models.bert_img import BertImgConfig, ImageBertClassifier
+from aladin_tpu.tasks.classification import (
+    ImageBertForMultipleChoice,
+    classification_loss,
+)
+from aladin_tpu.tasks.task_inputs import (
+    ImageFeatureProvider,
+    convert_gqa_batch,
+    convert_nlvr_batch,
+    convert_vqa_batch,
+    load_answer_vocab,
+    load_gqa_examples,
+    load_nlvr_examples,
+    load_vqa_examples,
+    make_synthetic_task_data,
+)
+from aladin_tpu.utils.logging import setup_logger
+
+
+def _batches(n, bs, rng=None):
+    order = np.arange(n) if rng is None else rng.permutation(n)
+    for s in range(0, n - bs + 1, bs):
+        yield order[s : s + bs]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="VQA/GQA/NLVR2 on TPU")
+    p.add_argument("--task", choices=("vqa", "gqa", "nlvr"), default="vqa")
+    p.add_argument("--data_dir", default="datasets/vqa")
+    p.add_argument("--img_feat_file", default="")
+    p.add_argument("--eval_model_dir", default="", help="vocab + backbone ckpt dir")
+    p.add_argument("--output_dir", default="output/classify")
+    p.add_argument("--max_seq_length", type=int, default=128)
+    p.add_argument("--max_img_seq_length", type=int, default=50)
+    p.add_argument("--img_feature_dim", type=int, default=2054)
+    p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--loss_type", choices=("bce", "kl", "ce"), default="bce",
+                   help="vqa only; gqa/nlvr use ce (ref:run_vqa.py loss_type)")
+    p.add_argument("--log_step", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--do_test", action="store_true",
+                   help="dump test predictions json (ref:run_vqa.py:787-839)")
+    p.add_argument("--synthetic", action="store_true")
+    ns = p.parse_args(argv)
+    logger = setup_logger("vlpretrain", ns.output_dir)
+
+    if ns.synthetic:
+        ns.data_dir = os.path.join(ns.output_dir, "synthetic_task")
+        make_synthetic_task_data(ns.data_dir, feat_dim=ns.img_feature_dim)
+    if not ns.img_feat_file:
+        ns.img_feat_file = os.path.join(ns.data_dir, "features.tsv")
+
+    if ns.eval_model_dir:
+        from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
+
+        tokenizer = BertWordPieceTokenizer.from_pretrained(ns.eval_model_dir)
+    else:
+        from aladin_tpu.cli.common import build_tokenizer
+        from aladin_tpu.config import DataArgs
+
+        tokenizer = build_tokenizer(DataArgs())
+
+    provider = ImageFeatureProvider(ns.img_feat_file)
+    tz = DisentangledTensorizer(tokenizer, ns.max_seq_length,
+                                ns.max_img_seq_length, ns.img_feature_dim)
+
+    ans2label = {}
+    vocab_file = os.path.join(ns.data_dir, "answers.txt")
+    if ns.task in ("vqa", "gqa"):
+        ans2label = load_answer_vocab(vocab_file)
+    label2ans = {v: k for k, v in ans2label.items()}
+    num_labels = {"vqa": max(len(ans2label), 1), "gqa": max(len(ans2label), 1),
+                  "nlvr": 2}[ns.task]
+
+    def load_split(split):
+        path = os.path.join(ns.data_dir, f"{ns.task}_{split}.jsonl")
+        if ns.task == "vqa":
+            return load_vqa_examples(path, ans2label)
+        if ns.task == "gqa":
+            return load_gqa_examples(path, ans2label)
+        return load_nlvr_examples(path)
+
+    def convert(examples):
+        if ns.task == "vqa":
+            return convert_vqa_batch(examples, tz, provider.get_image,
+                                     provider.get_od_labels, num_labels)
+        if ns.task == "gqa":
+            return convert_gqa_batch(examples, tz, provider.get_image,
+                                     provider.get_od_labels)
+        return convert_nlvr_batch(examples, tz, provider.get_image,
+                                  provider.get_od_labels)
+
+    train, val = load_split("train"), load_split("val")
+    logger.info(f"{ns.task}: {len(train)} train / {len(val)} val, {num_labels} labels")
+
+    if ns.synthetic:
+        cfg = BertImgConfig(vocab_size=tokenizer.vocab_size, hidden_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=128, max_position_embeddings=256,
+                            img_feature_dim=ns.img_feature_dim,
+                            num_labels=num_labels)
+    else:
+        cfg = BertImgConfig(vocab_size=tokenizer.vocab_size,
+                            img_feature_dim=ns.img_feature_dim,
+                            num_labels=num_labels)
+
+    loss_type = ns.loss_type if ns.task == "vqa" else "ce"
+    rng = np.random.RandomState(ns.seed)
+    key = jax.random.PRNGKey(ns.seed)
+    b0 = convert([train[i] for i in range(min(ns.train_batch_size, len(train)))])
+
+    if ns.task == "nlvr":
+        model = ImageBertForMultipleChoice(cfg, num_choices=2, num_labels=2)
+        params = model.init(key, *b0[:4])["params"]
+
+        def apply_logits(p, ids, mask, seg, feats, train_mode, drop_key):
+            kw = {"rngs": {"dropout": drop_key}} if train_mode else {}
+            return model.apply({"params": p}, ids, mask, seg, feats,
+                               not train_mode, **kw)
+    else:
+        model = ImageBertClassifier(cfg)
+        params = model.init(key, *b0[:4])["params"]
+
+        def apply_logits(p, ids, mask, seg, feats, train_mode, drop_key):
+            kw = {"rngs": {"dropout": drop_key}} if train_mode else {}
+            out = model.apply({"params": p}, ids, mask, seg, feats,
+                              not train_mode, False, **kw)
+            return out[0]
+
+    steps_per_epoch = max(len(train) // ns.train_batch_size, 1)
+    tx, sched = make_optimizer(ns.learning_rate, ns.warmup_steps,
+                               ns.epochs * steps_per_epoch)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, ids, mask, seg, feats, labels, drop_key):
+        def loss_fn(p):
+            logits = apply_logits(p, ids, mask, seg, feats, True, drop_key)
+            return classification_loss(logits, labels, loss_type), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def predict(params, ids, mask, seg, feats):
+        return apply_logits(params, ids, mask, seg, feats, False, None)
+
+    def evaluate(examples):
+        """Task accuracy over a split (ref:run_vqa.py:682-764 evaluate)."""
+        total, n = 0.0, 0
+        bs = ns.train_batch_size
+        for idx in _batches(len(examples), min(bs, len(examples))):
+            batch = convert([examples[i] for i in idx])
+            logits = np.asarray(predict(params, *batch[:4]))
+            pred = logits.argmax(-1)
+            if ns.task == "vqa":  # soft-target score of the argmax answer
+                total += float(np.take_along_axis(batch[4], pred[:, None], 1).sum())
+            else:
+                total += float((pred == batch[4]).sum())
+            n += len(idx)
+        return total / max(n, 1)
+
+    for epoch in range(ns.epochs):
+        t0, losses = time.time(), []
+        for i, idx in enumerate(_batches(len(train), min(ns.train_batch_size, len(train)), rng)):
+            batch = convert([train[j] for j in idx])
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, *batch[:5], sub)
+            losses.append(loss)
+            if (i + 1) % ns.log_step == 0:
+                vals = jax.device_get(losses)
+                logger.info(f"epoch {epoch} step {i + 1} loss {np.mean(vals):.4f}")
+                losses = []
+        acc = evaluate(val)
+        logger.info(f"epoch {epoch} val {'score' if ns.task == 'vqa' else 'acc'} "
+                    f"{acc:.4f} ({time.time() - t0:.1f}s)")
+
+    if ns.do_test:
+        test = load_split("test")
+        results = []
+        bs = min(ns.train_batch_size, len(test))
+        for idx in _batches(len(test), bs):
+            batch = convert([test[i] for i in idx])
+            pred = np.asarray(predict(params, *batch[:4])).argmax(-1)
+            for j, ex in zip(pred, [test[i] for i in idx]):
+                qid = getattr(ex, "qid", getattr(ex, "uid", ""))
+                ans = label2ans.get(int(j), int(j)) if ns.task != "nlvr" else int(j)
+                results.append({"question_id": qid, "answer": ans})
+        out = os.path.join(ns.output_dir, f"{ns.task}_test_results.json")
+        os.makedirs(ns.output_dir, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(results, f)
+        logger.info(f"wrote {len(results)} predictions to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

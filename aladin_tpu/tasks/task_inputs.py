@@ -87,6 +87,130 @@ def convert_gqa_batch(examples: Sequence[GqaExample], tensorizer, get_image, get
             np.stack(feats).astype(np.float32), np.asarray(labels, np.int64))
 
 
+class ImageFeatureProvider:
+    """Region features + OD-label text for the classification tasks.
+
+    The image side of the retrieval dataset, standalone: features.tsv +
+    imageid2idx.json + predictions.tsv in one directory
+    (ref:oscar/run_vqa.py:171-210 reads the same artifacts per task)."""
+
+    def __init__(self, img_feat_file: str, add_od_labels: bool = True):
+        from aladin_tpu.data.tsv import TSVFile, decode_region_features
+
+        self._decode = decode_region_features
+        self.tsv = TSVFile(img_feat_file)
+        d = os.path.dirname(img_feat_file)
+        with open(os.path.join(d, "imageid2idx.json")) as f:
+            self.id2idx = json.load(f)
+        self.labels: Dict[str, str] = {}
+        if add_od_labels:
+            pred = os.path.join(d, "predictions.tsv")
+            if os.path.exists(pred):
+                t = TSVFile(pred)
+                for i in range(t.num_rows()):
+                    row = t.seek(i)
+                    res = json.loads(row[1])
+                    objs = res["objects"] if isinstance(res, dict) else res
+                    self.labels[str(row[0])] = " ".join(o["class"] for o in objs)
+                t.close()
+
+    def get_image(self, img_key) -> np.ndarray:
+        row = self.tsv.seek(self.id2idx[str(img_key)])
+        return self._decode(row[-1], int(row[1]))
+
+    def get_od_labels(self, img_key) -> Optional[str]:
+        return self.labels.get(str(img_key))
+
+
+def load_vqa_examples(path: str, ans2label: Dict[str, int]) -> List[VqaExample]:
+    """jsonl rows {qid, question, img_key, answers: {answer: score}}
+    (capability of ref:oscar/utils/task_utils.py VQA processors: textual
+    answers map through the trainval ans2label vocabulary)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            scores = {
+                ans2label[a]: float(s)
+                for a, s in d.get("answers", {}).items()
+                if a in ans2label
+            }
+            out.append(VqaExample(str(d["qid"]), d["question"], str(d["img_key"]), scores))
+    return out
+
+
+def load_gqa_examples(path: str, ans2label: Dict[str, int]) -> List[GqaExample]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            ans = d.get("answer")
+            out.append(GqaExample(str(d["qid"]), d["question"], str(d["img_key"]),
+                                  ans2label.get(ans) if ans is not None else None))
+    return out
+
+
+def load_nlvr_examples(path: str) -> List[NlvrExample]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            out.append(NlvrExample(str(d["uid"]), d["statement"],
+                                   str(d["img_key_left"]), str(d["img_key_right"]),
+                                   d.get("label")))
+    return out
+
+
+def make_synthetic_task_data(root: str, n_images: int = 8, feat_dim: int = 32,
+                             n_examples: int = 32, seed: int = 0) -> None:
+    """Features + answer vocab + vqa/gqa/nlvr jsonl splits, on disk.
+
+    The questions are answerable from the image's OD tags so a small model
+    can beat chance - the fixture carries real signal, not noise."""
+    from aladin_tpu.data.dataset import make_synthetic_dataset
+
+    make_synthetic_dataset(root, n_images=n_images, feat_dim=feat_dim)
+    rng = np.random.RandomState(seed)
+    prov = ImageFeatureProvider(os.path.join(root, "features.tsv"))
+    keys = sorted(prov.id2idx.keys())
+    answers = ["yes", "no", "dog", "cat", "car", "tree", "person", "boat",
+               "bird", "house"]
+    with open(os.path.join(root, "answers.txt"), "w") as f:
+        f.write("\n".join(answers))
+
+    for split in ("train", "val", "test"):
+        vqa, gqa, nlvr = [], [], []
+        for i in range(n_examples):
+            k = keys[int(rng.randint(len(keys)))]
+            tags = (prov.get_od_labels(k) or "yes").split()
+            ans = tags[0] if tags[0] in answers else "yes"
+            second = answers[(answers.index(ans) + 1 + int(rng.randint(len(answers) - 1)))
+                             % len(answers)]
+            vqa.append({"qid": f"{split}{i}", "img_key": k,
+                        "question": "what is in the picture",
+                        "answers": {ans: 1.0, second: 0.3}})
+            gqa.append({"qid": f"{split}{i}", "img_key": k,
+                        "question": "what object appears here", "answer": ans})
+            k2 = keys[int(rng.randint(len(keys)))]
+            absent = [a for a in answers[2:] if a not in tags]
+            if rng.rand() < 0.5 or not absent:
+                noun, label = tags[0], 1
+            else:  # a noun absent from the left image -> false statement
+                noun, label = absent[int(rng.randint(len(absent)))], 0
+            nlvr.append({"uid": f"{split}{i}",
+                         "statement": f"the left image contains a {noun}",
+                         "img_key_left": k, "img_key_right": k2, "label": label})
+        for task, rows in (("vqa", vqa), ("gqa", gqa), ("nlvr", nlvr)):
+            with open(os.path.join(root, f"{task}_{split}.jsonl"), "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+
+
 def convert_nlvr_batch(examples: Sequence[NlvrExample], tensorizer, get_image, get_od_labels):
     """-> (ids, mask, seg, feats) with a leading num_choices=2 axis + labels."""
     out = {k: [] for k in ("ids", "mask", "seg", "feats")}

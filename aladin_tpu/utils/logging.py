@@ -25,14 +25,20 @@ def setup_logger(name: str = "vlpretrain", save_dir: Optional[str] = None,
                  level=logging.INFO) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(level)
-    if not logger.handlers:
+    fmt = logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler) for h in logger.handlers):
         h = logging.StreamHandler(stream=sys.stdout)
-        h.setFormatter(logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s"))
+        h.setFormatter(fmt)
         logger.addHandler(h)
-        if save_dir:
+    if save_dir:
+        # one file handler per run directory (several drivers may share the
+        # process, e.g. under pytest - each still gets its own log.txt)
+        path = os.path.abspath(os.path.join(save_dir, "log.txt"))
+        if not any(getattr(h, "baseFilename", None) == path for h in logger.handlers):
             os.makedirs(save_dir, exist_ok=True)
-            fh = logging.FileHandler(os.path.join(save_dir, "log.txt"))
-            fh.setFormatter(h.formatter)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
             logger.addHandler(fh)
     return logger
 
