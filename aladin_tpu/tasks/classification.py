@@ -83,13 +83,15 @@ def vqa_score(logits: Array, soft_targets: Array) -> Array:
 
 
 class ImageBertForMultipleChoice(nn.Module):
-    """NLVR2 pair-choice head (ref:modeling_bert.py:357-467 capability):
-    each choice's (statement, image) stream encodes independently; pooled
-    outputs concatenate -> classifier over num_choices."""
+    """NLVR2 pair-choice head (ref:modeling_bert.py:357-467): each choice's
+    (statement, image) stream encodes independently; pooled outputs
+    CONCATENATE across choices -> one classifier over num_choices*hidden
+    ('linear' or 'mlp' head, ref:modeling_bert.py:375-394)."""
 
     cfg: BertImgConfig
     num_choices: int = 2
     num_labels: int = 2
+    classifier: str = "mlp"
     cls_hidden_scale: int = 2
     dtype: Any = jnp.float32
 
@@ -102,7 +104,41 @@ class ImageBertForMultipleChoice(nn.Module):
         _, pooled, _, _ = backbone(flat(ids), flat(mask), flat(seg), flat(feats), deterministic)
         pooled = nn.Dropout(self.cfg.hidden_dropout_prob)(pooled, deterministic=deterministic)
         pooled = pooled.reshape(b, c * self.cfg.hidden_size)
+        if self.classifier == "linear":
+            return nn.Dense(self.num_labels, dtype=self.dtype,
+                            kernel_init=_dense_init(self.cfg), name="cls")(pooled)
         h = nn.Dense(self.cfg.hidden_size * self.cls_hidden_scale, dtype=self.dtype,
                      kernel_init=_dense_init(self.cfg), name="cls_fc1")(pooled)
         return nn.Dense(self.num_labels, dtype=self.dtype,
                         kernel_init=_dense_init(self.cfg), name="cls_fc2")(jax.nn.relu(h))
+
+
+class OscarForMultipleChoice(nn.Module):
+    """Per-choice scorer (ref:modeling_bert.py:470-572): each choice stream
+    encodes AND classifies independently -> (B, num_choices, num_labels)
+    logits (the reference reshapes to (B*C, num_labels) for its bce/ce
+    losses). 'linear' head = Dense(hidden, 2); 'mlp' adds the
+    cls_hidden_scale bottleneck."""
+
+    cfg: BertImgConfig
+    num_labels: int = 2
+    classifier: str = "linear"
+    cls_hidden_scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, mask, seg, feats, deterministic: bool = True) -> Array:
+        b, c = ids.shape[:2]
+        flat = lambda x: x.reshape(b * c, *x.shape[2:])  # noqa: E731
+        backbone = BertImgModel(self.cfg, self.dtype, name="bert")
+        _, pooled, _, _ = backbone(flat(ids), flat(mask), flat(seg), flat(feats), deterministic)
+        pooled = nn.Dropout(self.cfg.hidden_dropout_prob)(pooled, deterministic=deterministic)
+        if self.classifier == "mlp":
+            h = nn.Dense(self.cfg.hidden_size * self.cls_hidden_scale, dtype=self.dtype,
+                         kernel_init=_dense_init(self.cfg), name="cls_fc1")(pooled)
+            logits = nn.Dense(self.num_labels, dtype=self.dtype,
+                              kernel_init=_dense_init(self.cfg), name="cls_fc2")(jax.nn.relu(h))
+        else:
+            logits = nn.Dense(self.num_labels, dtype=self.dtype,
+                              kernel_init=_dense_init(self.cfg), name="cls")(pooled)
+        return logits.reshape(b, c, self.num_labels)

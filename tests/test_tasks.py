@@ -127,6 +127,23 @@ def test_multiple_choice_head(rng):
     logits = model.apply(params, ids, mask, seg, feats, True)
     assert logits.shape == (b, 2)
 
+    # linear-head variant (ref:modeling_bert.py:375-377)
+    lin = ImageBertForMultipleChoice(cfg, classifier="linear")
+    p2 = lin.init(jax.random.PRNGKey(0), ids, mask, seg, feats, True)
+    assert lin.apply(p2, ids, mask, seg, feats, True).shape == (b, 2)
+
+    # per-choice form (ref:modeling_bert.py:470-572): (B, C, num_labels),
+    # and each choice's logits depend only on its own stream
+    from aladin_tpu.tasks.classification import OscarForMultipleChoice
+
+    oc = OscarForMultipleChoice(cfg)
+    p3 = oc.init(jax.random.PRNGKey(0), ids, mask, seg, feats, True)
+    out = oc.apply(p3, ids, mask, seg, feats, True)
+    assert out.shape == (b, c, 2)
+    ids2 = ids.at[:, 1].set(ids[:, 1] ^ 1)  # perturb choice 1 only
+    out2 = oc.apply(p3, ids2, mask, seg, feats, True)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(out2[:, 0]), atol=1e-6)
+
 
 def test_cider_d():
     gts = {0: ["a dog runs in the park", "the dog is running"],
