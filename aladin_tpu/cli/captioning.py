@@ -123,6 +123,11 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--num_beams", type=int, default=1,
                    help="1 = greedy, >1 = beam search")
+    p.add_argument("--scst_epochs", type=int, default=0,
+                   help="self-critical (CIDEr-reward) fine-tune epochs after "
+                        "CE training (ref:run_captioning.py:522-580)")
+    p.add_argument("--scst_lr", type=float, default=1e-5)
+    p.add_argument("--scst_top_k", type=int, default=5)
     p.add_argument("--log_step", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic", action="store_true")
@@ -221,6 +226,48 @@ def main(argv=None) -> int:
     common = dict(max_steps=ns.max_seq_a_length - 1,
                   cls_id=tok.vocab[tok.cls_token], sep_id=tok.vocab[tok.sep_token],
                   mask_id=tok.vocab[tok.mask_token], pad_id=tz.pad_id)
+
+    if ns.scst_epochs > 0:
+        from aladin_tpu.tasks.captioning import sample_decode, token_logprobs
+        from aladin_tpu.tasks.scst import ScstRewardCriterion
+
+        scst = ScstRewardCriterion()
+        tx2, _ = make_optimizer(ns.scst_lr, 0, ns.scst_epochs * len(keys))
+        opt2 = tx2.init(params)
+
+        @jax.jit
+        def scst_step(params, opt_state, sampled, advantage, od_i, od_s, f, m):
+            def loss_fn(p):
+                lps, tmask = token_logprobs(
+                    model, p, sampled, od_i, od_s, f, m,
+                    mask_id=common["mask_id"], pad_id=common["pad_id"])
+                return ScstRewardCriterion.loss(advantage, lps, tmask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx2.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        for epoch in range(ns.scst_epochs):
+            t0, losses, rews = time.time(), [], []
+            order = rng.permutation(len(keys))
+            sb = min(ns.train_batch_size, len(keys))
+            for s in range(0, len(keys) - sb + 1, sb):
+                sel = order[s : s + sb]
+                od_i, od_s, f, m = od_ids[sel], od_seg[sel], feats[sel], masks[sel]
+                key, k1 = jax.random.split(key)
+                sampled = sample_decode(model, params, od_i, od_s, f, m, k1,
+                                        top_k=ns.scst_top_k, **common)
+                greedy, _ = greedy_decode(model, params, od_i, od_s, f, m, **common)
+                samp_str = detokenize(tok, np.asarray(sampled))
+                base_str = detokenize(tok, np.asarray(greedy))
+                gt_sets = [captions[keys[j]] for j in sel]
+                adv = scst.rewards(samp_str, base_str, gt_sets).astype(np.float32)
+                params, opt2, loss = scst_step(
+                    params, opt2, sampled, jnp.asarray(adv), od_i, od_s, f, m)
+                losses.append(float(loss))
+                rews.append(float(adv.mean()))
+            logger.info(f"scst epoch {epoch} loss {np.mean(losses):.4f} "
+                        f"mean-advantage {np.mean(rews):.4f} ({time.time() - t0:.1f}s)")
     if ns.num_beams > 1:
         toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats, masks,
                                      num_beams=ns.num_beams, **common)

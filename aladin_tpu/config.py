@@ -94,6 +94,10 @@ class TrainingConfig:
     # TPU-native: chunk the in-batch alignment tensor over the caption axis
     # (rematerialized in backward); 0 = dense. Unlocks B >= 512.
     alignment_chunk: int = 0
+    # TPU-native: run the encoder as a checkpointed scan over microbatches
+    # (loss still sees the full batch); 0 = one big forward. Unlocks B >= 1024
+    # on one chip (train/step.py encode_microbatched).
+    encoder_microbatch: int = 0
     margin: float = 0.2
     bs: int = 32
     scheduler: Optional[str] = "steplr"  # 'steplr' | None
@@ -122,6 +126,7 @@ class TrainingConfig:
             ),
             measure=_get(d, "measure", "dot"),
             alignment_chunk=int(_get(d, "alignment-chunk", 0)),
+            encoder_microbatch=int(_get(d, "encoder-microbatch", 0)),
             margin=float(_get(d, "margin", 0.2)),
             bs=int(_get(d, "bs", 32)),
             scheduler=_get(d, "scheduler", "steplr"),
@@ -205,6 +210,7 @@ class ExperimentConfig:
                 "activate-distillation-after": self.training.activate_distillation_after,
                 "measure": self.training.measure,
                 "alignment-chunk": self.training.alignment_chunk,
+                "encoder-microbatch": self.training.encoder_microbatch,
                 "margin": self.training.margin,
                 "bs": self.training.bs,
                 "scheduler": self.training.scheduler,

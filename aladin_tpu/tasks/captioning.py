@@ -361,6 +361,105 @@ def beam_search_decode(
     return cap, norm[jnp.arange(b), best]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_steps", "cls_id", "sep_id", "mask_id", "pad_id",
+                     "top_k", "top_p", "temperature"),
+)
+def sample_decode(
+    model: BertImageCaptioner,
+    params,
+    od_ids: Array,
+    od_seg: Array,
+    img_feats: Array,
+    attn_mask: Array,
+    rng: Array,
+    *,
+    max_steps: int,
+    cls_id: int,
+    sep_id: int,
+    mask_id: int,
+    pad_id: int,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+) -> Array:
+    """Stochastic masked-LM decode (the SCST sampling pass,
+    ref:oscar/run_captioning.py:522-580 capability): like greedy_decode but
+    each step draws from the (top-k/top-p filtered) softmax. Returns token
+    rows (B, max_steps+1); logprobs for the policy gradient come from
+    token_logprobs (the differentiable evaluation pass)."""
+    b = img_feats.shape[0]
+    max_seq_a = max_steps + 1
+    cap = jnp.full((b, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+    seg_a = jnp.zeros((b, max_seq_a), jnp.int32)
+
+    def step(carry, t):
+        cap, finished, key = carry
+        ids = jnp.concatenate([cap, od_ids], axis=1)
+        seg = jnp.concatenate([seg_a, od_seg], axis=1)
+        logits = model.apply({"params": params}, ids, attn_mask, seg, img_feats, True)
+        step_logits = jnp.take_along_axis(
+            logits, jnp.full((b, 1, 1), t, jnp.int32), axis=1
+        )[:, 0, :] / temperature
+        step_logits = top_k_top_p_filtering(step_logits, top_k, top_p)
+        key, sub = jax.random.split(key)
+        tok = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, pad_id, tok)
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, tok[:, None], cap)
+        finished = finished | (tok == sep_id)
+        return (cap, finished, key), None
+
+    init = (cap, jnp.zeros((b,), bool), rng)
+    (cap, _, _), _ = jax.lax.scan(step, init, jnp.arange(1, max_seq_a, dtype=jnp.int32))
+    return cap
+
+
+def token_logprobs(
+    model: BertImageCaptioner,
+    params,
+    tokens: Array,  # (B, max_seq_a) decoded rows (CLS first)
+    od_ids: Array,
+    od_seg: Array,
+    img_feats: Array,
+    attn_mask: Array,
+    *,
+    mask_id: int,
+    pad_id: int,
+) -> Tuple[Array, Array]:
+    """Differentiable per-token logprobs of a decoded caption under the SAME
+    conditioning the decoder used: logp at position t is evaluated with
+    positions >= t re-masked (prefix teacher-forcing), one checkpointed
+    forward per step. Returns (logprobs (B, T), mask (B, T)) over positions
+    1..max_seq_a-1; padding tokens are masked out. This is the gradient path
+    of SCST: loss = -advantage * sum(logprobs * mask)."""
+    b, max_seq_a = tokens.shape
+    seg_a = jnp.zeros((b, max_seq_a), jnp.int32)
+    pos = jnp.arange(max_seq_a)[None, :]
+
+    @jax.checkpoint
+    def logp_at(p, t):
+        cap = jnp.where(pos < t, tokens, mask_id)
+        ids = jnp.concatenate([cap, od_ids], axis=1)
+        seg = jnp.concatenate([seg_a, od_seg], axis=1)
+        logits = model.apply({"params": p}, ids, attn_mask, seg, img_feats, True)
+        step_logp = jax.nn.log_softmax(
+            jnp.take_along_axis(logits, jnp.full((b, 1, 1), t, jnp.int32), axis=1)[:, 0, :],
+            axis=-1,
+        )
+        tok = jnp.take_along_axis(tokens, jnp.full((b, 1), t, jnp.int32), axis=1)[:, 0]
+        return jnp.take_along_axis(step_logp, tok[:, None], axis=1)[:, 0]
+
+    def body(_, t):
+        return None, logp_at(params, t)
+
+    ts = jnp.arange(1, max_seq_a, dtype=jnp.int32)
+    _, lps = jax.lax.scan(body, None, ts)  # (T, B)
+    lps = lps.T  # (B, T)
+    mask = (tokens[:, 1:] != pad_id).astype(lps.dtype)
+    return lps, mask
+
+
 def top_k_top_p_filtering(logits: Array, top_k: int = 0, top_p: float = 1.0,
                           filter_value: float = -1e9) -> Array:
     """Sampling filter (ref:oscar/modeling/modeling_utils.py:600-633

@@ -34,14 +34,56 @@ from aladin_tpu.ops import losses as L
 from aladin_tpu.train.state import TrainState
 
 
+def encode_microbatched(model: ALADIN, params, batch: Batch, rng, microbatch: int):
+    """Full-batch encoder outputs with bounded activation memory.
+
+    The in-batch contrastive losses need the WHOLE batch's embeddings (the
+    B x B score matrices), so gradient accumulation would change loss
+    semantics. Instead the ENCODER runs as a lax.scan over microbatches with
+    jax.checkpoint around each: only the per-microbatch token embeddings
+    (B, S, D) survive the forward; the backward recomputes each microbatch's
+    backbone. Peak activation memory drops ~B/microbatch-fold while the loss
+    stays mathematically identical to one big forward (dropout draws differ
+    per microbatch; grads match exactly at dropout 0 - tested). This is the
+    single-chip lever for the B>=1024 regime the reference never reaches
+    (it trains at bs=32, ref:alad/configs/*.yaml)."""
+    b = batch.txt_ids.shape[0]
+    assert b % microbatch == 0, (b, microbatch)
+    nb = b // microbatch
+    stacked = jax.tree.map(lambda x: x.reshape(nb, microbatch, *x.shape[1:]), batch)
+
+    @jax.checkpoint
+    def enc(p, mb, key):
+        return model.apply({"params": p}, mb, False, rngs={"dropout": key})
+
+    def body(i, mb):
+        return i + 1, enc(params, mb, jax.random.fold_in(rng, i))
+
+    _, outs = jax.lax.scan(body, jnp.int32(0), stacked)
+    merge = lambda x: x.reshape(b, *x.shape[2:])  # noqa: E731
+    return outs.replace(
+        img_global=merge(outs.img_global),
+        cap_global=merge(outs.cap_global),
+        img_set=merge(outs.img_set),
+        cap_seq=merge(outs.cap_seq),
+        img_len=merge(outs.img_len),
+        cap_len=merge(outs.cap_len),
+        l1_reg=outs.l1_reg.mean(),
+    )
+
+
 def make_loss_fn(model: ALADIN, cfg: ExperimentConfig) -> Callable:
     tc = cfg.training
     types = tc.loss_types
 
     def loss_fn(params, batch: Batch, epoch, rng):
-        out = model.apply(
-            {"params": params["model"]}, batch, False, rngs={"dropout": rng}
-        )
+        mb = tc.encoder_microbatch
+        if mb and batch.txt_ids.shape[0] > mb:
+            out = encode_microbatched(model, params["model"], batch, rng, mb)
+        else:
+            out = model.apply(
+                {"params": params["model"]}, batch, False, rngs={"dropout": rng}
+            )
         aux = params["aux"]
         terms: Dict[str, jax.Array] = {}
 

@@ -42,6 +42,61 @@ def test_detokenize_wordpiece_and_sep():
     assert detokenize(tok, rows) == ["the doggy runs", "a"]
 
 
+def test_token_logprobs_match_greedy(rng=np.random.RandomState(0)):
+    """The differentiable SCST evaluation pass reproduces the decoder's own
+    logprob: token_logprobs(greedy tokens) summed over the mask == the
+    logprob greedy_decode reported."""
+    import jax
+    import jax.numpy as jnp
+
+    from aladin_tpu.tasks.captioning import (
+        BertImageCaptioner,
+        _decode_attention_mask,
+        greedy_decode,
+        token_logprobs,
+    )
+    from tests.test_models import small_cfg
+
+    tok = BertWordPieceTokenizer(VOCAB)
+    cfg = small_cfg()
+    model = BertImageCaptioner(cfg)
+    b, max_seq_a, od_len, img_len = 2, 6, 4, 3
+    max_seq = max_seq_a + od_len
+    od_ids = jnp.array(rng.randint(5, len(VOCAB), (b, od_len)).astype(np.int32))
+    od_seg = jnp.ones((b, od_len), jnp.int32)
+    feats = jnp.array(rng.randn(b, img_len, cfg.img_feature_dim).astype(np.float32))
+    mask = jnp.array(np.broadcast_to(
+        _decode_attention_mask(max_seq_a, max_seq, img_len, od_len, img_len),
+        (b, max_seq + img_len, max_seq + img_len)))
+    ids0 = jnp.concatenate(
+        [jnp.full((b, max_seq_a), VOCAB["[MASK]"], jnp.int32), od_ids], axis=1)
+    params = model.init(jax.random.PRNGKey(0), ids0, mask, jnp.zeros_like(ids0),
+                        feats, True)["params"]
+
+    common = dict(max_steps=max_seq_a - 1, cls_id=VOCAB["[CLS]"],
+                  sep_id=VOCAB["[SEP]"], mask_id=VOCAB["[MASK]"], pad_id=VOCAB["[PAD]"])
+    toks, logp = greedy_decode(model, params, od_ids, od_seg, feats, mask, **common)
+    lps, tmask = token_logprobs(model, params, toks, od_ids, od_seg, feats, mask,
+                                mask_id=VOCAB["[MASK]"], pad_id=VOCAB["[PAD]"])
+    np.testing.assert_allclose(np.asarray((lps * tmask).sum(1)), np.asarray(logp),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_scst_driver_e2e(tmp_path):
+    from aladin_tpu.cli.captioning import main
+
+    out = str(tmp_path / "scst")
+    rc = main(["--synthetic", "--epochs", "4", "--scst_epochs", "2",
+               "--scst_lr", "1e-5", "--train_batch_size", "8",
+               "--max_seq_length", "24", "--max_seq_a_length", "12",
+               "--max_img_seq_length", "8", "--img_feature_dim", "16",
+               "--learning_rate", "3e-3", "--output_dir", out])
+    assert rc == 0
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "scst epoch 1" in log and "mean-advantage" in log
+
+
 @pytest.mark.slow
 def test_captioning_driver_e2e(tmp_path):
     """data -> train -> greedy decode -> BLEU/ROUGE/CIDEr; the model must

@@ -50,6 +50,41 @@ def test_loss_decreases(rng):
     assert int(state.step) == 8
 
 
+def test_encoder_microbatch_matches_full(rng):
+    """encoder-microbatch (checkpointed encoder scan) produces the SAME loss
+    and gradients as one big forward - full-batch contrastive semantics are
+    preserved, only activation memory changes. Dropout 0 so rng draws can't
+    differ between the two paths."""
+    from aladin_tpu.train.step import make_loss_fn
+
+    d = {
+        "model": {"embed-size": SMALL["hidden_size"], "tern-layers": 1, "dropout": 0.0},
+        "training": {"loss-type": "alignment-distillation-matching",
+                     "loss-weights": [1, 1, 0.5], "lr": 1e-3, "bs": 8},
+    }
+    cfg_full = ExperimentConfig.from_dict(d)
+    d2 = {**d, "training": {**d["training"], "encoder-microbatch": 2}}
+    cfg_mb = ExperimentConfig.from_dict(d2)
+
+    import dataclasses
+
+    bert = dataclasses.replace(small_cfg(), hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    model_full = ALADIN(cfg_full, bert)
+    model_mb = ALADIN(cfg_mb, bert)
+    batch = make_batch(rng, b=8)
+    state = init_state(model_full, cfg_full, batch)
+
+    key = jax.random.PRNGKey(3)
+    lf = jax.value_and_grad(make_loss_fn(model_full, cfg_full), has_aux=True)
+    lm = jax.value_and_grad(make_loss_fn(model_mb, cfg_mb), has_aux=True)
+    (loss_f, _), g_f = lf(state.params, batch, jnp.int32(0), key)
+    (loss_m, _), g_m = lm(state.params, batch, jnp.int32(0), key)
+    np.testing.assert_allclose(float(loss_m), float(loss_f), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
 def test_freeze_teran_partition(rng):
     model, cfg = make_model(**{"freeze-teran": True})
     batch = make_batch(rng)
