@@ -20,9 +20,18 @@ Layout (chosen around Mosaic's (8, 128) tiling rules):
   * grid = (N_im/BI, N_cap/BCC), j minor: the (BI*R, D) image tile stays
     VMEM-resident across the caption sweep; caption tiles are small (0.6 MB)
     and stream;
-  * per program: align = imgs (BI*R, D) @ caps_T (D, BCC*W48) on the MXU with
-    f32 accumulation; max over R via a sublane-split reshape; word-sum as a
-    tiny second matmul against a STATIC block-diagonal selector (iota-built).
+  * REGION PACKING: images are processed in groups of 8, with rows
+    interleaved as (group, region, image-in-group) so that sublane s of
+    every 8-row tile belongs to image s. The per-image max over regions
+    then reduces ACROSS tiles (sublane-preserving, cheap) instead of within
+    a per-image sublane block - which would force padding each image's R
+    rows to a multiple of 8 (r=33 -> 40, 17.5% wasted MXU rows in the r1
+    layout). Zero padding rows disappear entirely: the matmul operand is
+    exactly BI*R rows;
+  * per program: align = imgs (BI*R, D) @ caps_T (D, BCC*W48) on the MXU
+    with f32 accumulation; max over R via the cross-tile reduction above;
+    word-sum as a tiny second matmul against a STATIC block-diagonal
+    selector (iota-built).
 
 Masking contract matches ops.alignment exactly: inputs are pre-normalized
 and padded region rows AND padded word vectors are pre-zeroed. A zero word
@@ -47,7 +56,7 @@ from aladin_tpu.ops.masking import valid_mask
 from aladin_tpu.ops.similarity import l2norm
 
 
-def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, r8: int, w48: int, bcc: int,
+def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, w48: int, bcc: int,
                  acc_dtype=jnp.float32):
     lanes = bcc * w48
     int8_mode = img_ref.dtype == jnp.int8
@@ -57,12 +66,14 @@ def _mrsw_kernel(img_ref, cap_ref, out_ref, *, bi: int, r: int, r8: int, w48: in
     )
     if not int8_mode and acc_dtype != jnp.float32:
         align = align.astype(acc_dtype)  # narrow store; f32 MXU accumulation
-    # Split rows into per-image groups of r8 (a multiple of 8 = sublane tile):
-    # tile-aligned, so the reshape is free - no VMEM relayout copy. Rows
-    # [r, r8) are pure layout padding; unlike the [img_len-1, r) zeros (the
-    # reference's floor) they must NOT join the max, so reduce a row slice.
-    a3 = align.reshape(bi, r8, lanes)
-    m = a3[:, :r, :].max(axis=1).astype(jnp.float32)  # (BI, BCC*W48)
+    # Rows arrive interleaved as (group, region, image-in-group=8): sublane s
+    # of each 8-row tile is image s of its group. Splitting the row dim into
+    # (groups, r, 8) is tile-aligned (free); the max over the region axis
+    # reduces across tiles, preserving sublane structure. Exactly r rows per
+    # image join the max - the reference's zero-fill floor comes from the
+    # pre-zeroed [img_len-1, r) rows only, with no layout-padding rows.
+    a4 = align.reshape(bi // 8, r, 8, lanes)
+    m = a4.max(axis=1).reshape(bi, lanes).astype(jnp.float32)  # (BI, BCC*W48)
     row = jax.lax.broadcasted_iota(jnp.int32, (lanes, bcc), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (lanes, bcc), 1)
     sel = ((row // w48) == col).astype(jnp.float32)  # static block-diagonal
@@ -102,48 +113,53 @@ def mrsw_scores_pallas(
     n_im, r, d = im_set.shape
     n_cap, w, _ = s_seq.shape
     w48 = -(-w // 16) * 16  # pad words to a multiple of 16
-    r8 = -(-r // 8) * 8  # pad regions to a sublane-tile multiple
     assert block_imgs % 128 == 0, block_imgs
     assert (block_caps * w48) % 128 == 0, (block_caps, w48)
 
     # Pre-zero padded regions AND padded words (see module docstring), pad
-    # the corpus axes to tile multiples and the region axis to r8.
+    # the corpus axes to tile multiples.
     im_set = jnp.where(valid_mask(im_len, r)[:, :, None], im_set, 0.0)
     s_seq = jnp.where(valid_mask(s_len, w)[:, :, None], s_seq, 0.0)
     pad_i = (-n_im) % block_imgs
     pad_c = (-n_cap) % block_caps
-    im_set = jnp.pad(im_set, ((0, pad_i), (0, r8 - r), (0, 0)))
+    im_set = jnp.pad(im_set, ((0, pad_i), (0, 0), (0, 0)))
     s_seq = jnp.pad(s_seq, ((0, pad_c), (0, w48 - w), (0, 0)))
     ni, nc = n_im + pad_i, n_cap + pad_c
+
+    # Region packing (see module docstring): interleave groups of 8 images so
+    # operand row g*(8r) + j*8 + s = region j of image g*8+s. The kernel's
+    # cross-tile max then lands image g*8+s at output row g*8+s - identity
+    # order, no unscramble needed. One cheap XLA transpose, done once.
+    im_inter = im_set.reshape(ni // 8, 8, r, d).transpose(0, 2, 1, 3).reshape(ni * r, d)
 
     if compute_dtype == jnp.int8:
         # Quantized scoring: symmetric per-tensor int8 with data-derived
         # scales (127 / max|coord| of the L2-normalized tokens). The MXU's
         # int8 path doubles peak throughput on v5e (394 vs 197 TOPS); the
         # int32 accumulation is exact, so the only error is coordinate
-        # rounding (~1e-2 absolute on MrSw scores; rank-stable in practice -
-        # use bf16/f32 when bit-level parity with the f32 path matters).
-        s_im = 127.0 / jnp.maximum(jnp.max(jnp.abs(im_set)), 1e-6)
+        # rounding (~1e-2 absolute on MrSw scores; rank parity with f32 is
+        # test-locked to 0.1pp R@K - tests/test_eval.py).
+        s_im = 127.0 / jnp.maximum(jnp.max(jnp.abs(im_inter)), 1e-6)
         s_cap = 127.0 / jnp.maximum(jnp.max(jnp.abs(s_seq)), 1e-6)
-        imgs_flat = jnp.clip(jnp.round(im_set.reshape(ni * r8, d) * s_im), -127, 127).astype(jnp.int8)
+        imgs_flat = jnp.clip(jnp.round(im_inter * s_im), -127, 127).astype(jnp.int8)
         caps_t = jnp.clip(jnp.round(s_seq.reshape(nc * w48, d).T * s_cap), -127, 127).astype(jnp.int8)
         descale = 1.0 / (s_im * s_cap)
     else:
-        imgs_flat = im_set.reshape(ni * r8, d).astype(compute_dtype)
+        imgs_flat = im_inter.astype(compute_dtype)
         caps_t = s_seq.reshape(nc * w48, d).T.astype(compute_dtype)  # (D, NC*W48)
         descale = None
 
     grid = (ni // block_imgs, nc // block_caps)
     kernel = functools.partial(
-        _mrsw_kernel, bi=block_imgs, r=r, r8=r8, w48=w48, bcc=block_caps,
+        _mrsw_kernel, bi=block_imgs, r=r, w48=w48, bcc=block_caps,
         acc_dtype=acc_dtype,
     )
-    flops = 2 * ni * r8 * d * nc * w48
+    flops = 2 * ni * r * d * nc * w48
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_imgs * r8, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_imgs * r, d), lambda i, j: (i, 0)),
             pl.BlockSpec((d, block_caps * w48), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_caps, block_imgs), lambda i, j: (j, i)),
