@@ -128,6 +128,10 @@ def main(argv=None) -> int:
                         "CE training (ref:run_captioning.py:522-580)")
     p.add_argument("--scst_lr", type=float, default=1e-5)
     p.add_argument("--scst_top_k", type=int, default=5)
+    p.add_argument("--use_cbs", action="store_true",
+                   help="constrained beam search over detection-derived FSMs "
+                        "(ref:run_captioning.py --use_cbs / oscar/utils/cbs.py)")
+    p.add_argument("--min_constraints_to_satisfy", type=int, default=2)
     p.add_argument("--log_step", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic", action="store_true")
@@ -268,7 +272,46 @@ def main(argv=None) -> int:
                 rews.append(float(adv.mean()))
             logger.info(f"scst epoch {epoch} loss {np.mean(losses):.4f} "
                         f"mean-advantage {np.mean(rews):.4f} ({time.time() - t0:.1f}s)")
-    if ns.num_beams > 1:
+    if ns.use_cbs:
+        from aladin_tpu.tasks.cbs import (
+            ConstraintFilter,
+            FiniteStateMachineBuilder,
+            cbs_decode,
+            select_best_beam_with_constraints,
+        )
+
+        filt = ConstraintFilter()
+        builder = FiniteStateMachineBuilder(tok.vocab_size)
+        tables, n_cons, max_states = [], [], 1
+        for k in keys:
+            objs = provider.get_objects(k)
+            names = filt(
+                np.asarray([o.get("rect", [0, 0, 1, 1]) for o in objs], np.float32),
+                [o["class"] for o in objs],
+                np.asarray([o.get("conf", 1.0) for o in objs], np.float32),
+            ) if objs else []
+            forms = [[tok.convert_tokens_to_ids(tok.tokenize(n))] for n in names]
+            forms = [f for f in forms if f and f[0]]
+            nxt, n_states = builder.build(forms)
+            tables.append(nxt)
+            n_cons.append(len(forms))
+            max_states = max(max_states, n_states)
+        # pad every FSM to the batch max state count (extra states are
+        # unreachable identity rows; select_best only scans main states)
+        padded = np.stack([
+            np.concatenate([
+                t, np.tile(np.arange(t.shape[0], max_states, dtype=np.int32)[:, None],
+                           (1, tok.vocab_size)),
+            ]) if t.shape[0] < max_states else t
+            for t in tables
+        ])
+        beams, scores_b, _ = cbs_decode(
+            model, params, od_ids, od_seg, feats, masks, jnp.asarray(padded),
+            num_beams=max(ns.num_beams, 2), num_states=max_states, **common)
+        toks, _ = select_best_beam_with_constraints(
+            np.asarray(beams), np.asarray(scores_b), np.asarray(n_cons),
+            ns.min_constraints_to_satisfy)
+    elif ns.num_beams > 1:
         toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats, masks,
                                      num_beams=ns.num_beams, **common)
     else:

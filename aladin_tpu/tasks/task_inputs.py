@@ -103,6 +103,7 @@ class ImageFeatureProvider:
         with open(os.path.join(d, "imageid2idx.json")) as f:
             self.id2idx = json.load(f)
         self.labels: Dict[str, str] = {}
+        self.objects: Dict[str, list] = {}
         if add_od_labels:
             pred = os.path.join(d, "predictions.tsv")
             if os.path.exists(pred):
@@ -112,6 +113,7 @@ class ImageFeatureProvider:
                     res = json.loads(row[1])
                     objs = res["objects"] if isinstance(res, dict) else res
                     self.labels[str(row[0])] = " ".join(o["class"] for o in objs)
+                    self.objects[str(row[0])] = objs
                 t.close()
 
     def get_image(self, img_key) -> np.ndarray:
@@ -120,6 +122,12 @@ class ImageFeatureProvider:
 
     def get_od_labels(self, img_key) -> Optional[str]:
         return self.labels.get(str(img_key))
+
+    def get_objects(self, img_key) -> list:
+        """Structured detections [{class, rect?, conf?}, ...] - the CBS
+        constraint source (ref:oscar/utils/cbs.py:526-645 consumes boxes,
+        class names and detector confidences)."""
+        return self.objects.get(str(img_key), [])
 
 
 def load_vqa_examples(path: str, ans2label: Dict[str, int]) -> List[VqaExample]:

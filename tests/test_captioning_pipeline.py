@@ -117,6 +117,34 @@ def test_captioning_driver_e2e(tmp_path):
 
 
 @pytest.mark.slow
+def test_cbs_driver_e2e(tmp_path):
+    """--use_cbs: decoding constrained on detection-derived FSMs; every
+    caption must contain at least one of its image's detected class words
+    (min 2 constraints clipped by the per-image constraint count)."""
+    import json as _json
+
+    from aladin_tpu.cli.captioning import main
+    from aladin_tpu.tasks.task_inputs import ImageFeatureProvider
+
+    out = str(tmp_path / "cbs")
+    rc = main(["--synthetic", "--epochs", "4", "--use_cbs",
+               "--train_batch_size", "8", "--max_seq_length", "24",
+               "--max_seq_a_length", "12", "--max_img_seq_length", "8",
+               "--img_feature_dim", "16", "--learning_rate", "3e-3",
+               "--output_dir", out])
+    assert rc == 0
+    preds = _json.load(open(os.path.join(out, "predictions.json")))
+    prov = ImageFeatureProvider(
+        os.path.join(out, "synthetic_caption", "features.tsv"))
+    hit = 0
+    for p in preds:
+        classes = {o["class"] for o in prov.get_objects(p["image_id"])}
+        if classes & set(p["caption"].split()):
+            hit += 1
+    assert hit >= len(preds) - 1, (hit, preds)  # allow 1 unconstrained edge
+
+
+@pytest.mark.slow
 def test_captioning_driver_beam(tmp_path):
     from aladin_tpu.cli.captioning import main
 
