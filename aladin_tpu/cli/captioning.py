@@ -3,10 +3,11 @@
 Reference capability (ref:oscar/run_captioning.py:195-1009): masked-caption
 LM training over (caption, OD tags, regions) streams with the block
 attention layout, greedy/beam inference through the masked-LM decoder, and
-COCO caption metrics. TPU-native: the tensorizer emits static shapes, both
-decoders are single jitted lax.scan programs (no KV-cache - full recompute
-is the right trade at <=40-token captions, see tasks/captioning.py), and
-metrics run host-side (eval/caption_metrics: BLEU-1..4, ROUGE-L, CIDEr-D,
+COCO caption metrics. TPU-native: the tensorizer emits static shapes, the decoders are
+single jitted lax.scan programs - full-recompute by default, or the
+KV-cached prefill+step engine (tasks/decode_cache.py, --kv_cache) which
+reproduces the reference's history_state serving path - and metrics run
+host-side (eval/caption_metrics: BLEU-1..4, ROUGE-L, CIDEr-D, METEOR,
 SPICE when the jar is present).
 
   python -m aladin_tpu.cli.captioning --synthetic --epochs 8   # train+eval
@@ -128,6 +129,10 @@ def main(argv=None) -> int:
                         "CE training (ref:run_captioning.py:522-580)")
     p.add_argument("--scst_lr", type=float, default=1e-5)
     p.add_argument("--scst_top_k", type=int, default=5)
+    p.add_argument("--kv_cache", action="store_true",
+                   help="decode with the prefill+step KV-cache engine "
+                        "(tasks/decode_cache.py) instead of full recompute; "
+                        "identical outputs, lower per-step cost")
     p.add_argument("--use_cbs", action="store_true",
                    help="constrained beam search over detection-derived FSMs "
                         "(ref:run_captioning.py --use_cbs / oscar/utils/cbs.py)")
@@ -259,9 +264,22 @@ def main(argv=None) -> int:
                 sel = order[s : s + sb]
                 od_i, od_s, f, m = od_ids[sel], od_seg[sel], feats[sel], masks[sel]
                 key, k1 = jax.random.split(key)
-                sampled = sample_decode(model, params, od_i, od_s, f, m, k1,
-                                        top_k=ns.scst_top_k, **common)
-                greedy, _ = greedy_decode(model, params, od_i, od_s, f, m, **common)
+                if ns.kv_cache:
+                    from aladin_tpu.tasks.decode_cache import (
+                        greedy_decode_cached,
+                        sample_decode_cached,
+                    )
+
+                    sampled = sample_decode_cached(
+                        params, od_i, od_s, f, m, k1, cfg=cfg,
+                        top_k=ns.scst_top_k, **common)
+                    greedy, _ = greedy_decode_cached(
+                        params, od_i, od_s, f, m, cfg=cfg, **common)
+                else:
+                    sampled = sample_decode(model, params, od_i, od_s, f, m, k1,
+                                            top_k=ns.scst_top_k, **common)
+                    greedy, _ = greedy_decode(model, params, od_i, od_s, f, m,
+                                              **common)
                 samp_str = detokenize(tok, np.asarray(sampled))
                 base_str = detokenize(tok, np.asarray(greedy))
                 gt_sets = [captions[keys[j]] for j in sel]
@@ -312,8 +330,20 @@ def main(argv=None) -> int:
             np.asarray(beams), np.asarray(scores_b), np.asarray(n_cons),
             ns.min_constraints_to_satisfy)
     elif ns.num_beams > 1:
-        toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats, masks,
-                                     num_beams=ns.num_beams, **common)
+        if ns.kv_cache:
+            from aladin_tpu.tasks.decode_cache import beam_search_decode_cached
+
+            toks, _ = beam_search_decode_cached(
+                params, od_ids, od_seg, feats, masks, cfg=cfg,
+                num_beams=ns.num_beams, **common)
+        else:
+            toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats,
+                                         masks, num_beams=ns.num_beams, **common)
+    elif ns.kv_cache:
+        from aladin_tpu.tasks.decode_cache import greedy_decode_cached
+
+        toks, _ = greedy_decode_cached(params, od_ids, od_seg, feats, masks,
+                                       cfg=cfg, **common)
     else:
         toks, _ = greedy_decode(model, params, od_ids, od_seg, feats, masks, **common)
     hyps = detokenize(tok, np.asarray(toks))

@@ -1,10 +1,11 @@
-"""Caption evaluation orchestration: BLEU / ROUGE-L / CIDEr-D (+SPICE).
+"""Caption evaluation orchestration: BLEU / METEOR / ROUGE-L / CIDEr-D (+SPICE).
 
 Equivalent capability to ref:oscar/utils/caption_evaluate.py
 (evaluate_on_coco_caption): score generated captions against the COCO
-ground-truth sets and report the standard metric dict. BLEU, ROUGE-L and
-CIDEr-D run natively; METEOR/SPICE shell out to Java (eval/spice.py) and
-are skipped with a note when the jars are absent.
+ground-truth sets and report the standard metric dict. BLEU, METEOR
+(eval/meteor.py, nltk-algorithm-faithful native port), ROUGE-L and CIDEr-D
+run natively; SPICE shells out to Java (eval/spice.py) and is skipped with
+a note when the jars are absent.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from aladin_tpu.eval.cider import CiderD
+from aladin_tpu.eval.meteor import Meteor
 from aladin_tpu.eval.rouge import Rouge
 
 
@@ -69,9 +71,10 @@ def evaluate_captions(
     bleu = bleu_score(hyps, refs)
     rouge_mean, _ = Rouge().compute_score(ground_truth, predictions)
     cider_mean, _ = CiderD().compute_score(ground_truth, predictions)
+    meteor_mean, _ = Meteor().compute_score(ground_truth, predictions)
     out = {
         "Bleu_1": bleu[0], "Bleu_2": bleu[1], "Bleu_3": bleu[2], "Bleu_4": bleu[3],
-        "ROUGE_L": rouge_mean, "CIDEr": cider_mean,
+        "METEOR": meteor_mean, "ROUGE_L": rouge_mean, "CIDEr": cider_mean,
     }
     if include_spice:
         try:

@@ -1,0 +1,377 @@
+"""KV-cached caption decoding — the reference's ``history_state`` capability
+(ref:oscar/modeling/modeling_bert.py:23-147,659-755), rebuilt TPU-first.
+
+The full-recompute decoders in ``tasks/captioning.py`` re-run the whole
+(caption + OD-labels + regions) forward every step — simple, static-shaped,
+and the right default at short captions. This module provides the
+prefill + incremental-step structure for serving, where per-step cost
+dominates:
+
+  * OD-label and region tokens never attend to the caption (block mask,
+    ref:oscar/run_captioning.py:297-317), so their per-layer K/V are
+    computed ONCE (prefill) and reused by every decode step;
+  * each step feeds exactly TWO in-flight tokens — the real token generated
+    at position t-1 (whose K/V overwrite the caption-cache slot t-1: the
+    previous step computed that position from a [MASK] embedding) and the
+    [MASK] probe at position t whose MLM logits emit token t. This mirrors
+    the reference's two-token past-decoding input
+    (ref:oscar/modeling/modeling_bert.py:700-736).
+
+Logits are IDENTICAL to the full-recompute path (same additive -10000 mask,
+same f32 score/softmax precision, same post-LN layer math) while running
+O(2) instead of O(L) token-positions of encoder work per step: ~60x fewer
+decode FLOPs at the COCO geometry (L=120, 40 steps). Everything is static-
+shaped: the caches are fixed-size buffers updated with dynamic_update_slice
+inside one ``lax.scan``; beam search gathers cache rows by source beam, the
+per-example context caches are beam-invariant and never reordered.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from aladin_tpu.models.bert_img import BertImgConfig
+
+NEG_BIAS = -10000.0  # additive mask constant (ref:modeling_bert.py:226)
+
+
+# ---------------------------------------------------------------------------
+# Param-tree primitives (mirror the flax modules in models/bert_img.py
+# exactly: post-LN layers, exact-erf gelu, f32 attention scores/softmax)
+# ---------------------------------------------------------------------------
+
+def _dense(x: Array, p, dtype) -> Array:
+    return jnp.matmul(x, p["kernel"].astype(dtype)) + p["bias"].astype(dtype)
+
+
+def _ln(x: Array, p, eps: float, dtype) -> Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"].astype(dtype) + p["bias"].astype(dtype)
+
+
+def _text_embed(bp, cfg: BertImgConfig, ids: Array, pos_ids: Array,
+                type_ids: Array, dtype) -> Array:
+    """word + absolute-position + token-type embeddings -> LayerNorm."""
+    word = jnp.take(bp["word_embeddings"]["embedding"].astype(dtype), ids, axis=0)
+    pos = jnp.take(bp["position_embeddings"]["embedding"].astype(dtype), pos_ids, axis=0)
+    typ = jnp.take(bp["token_type_embeddings"]["embedding"].astype(dtype), type_ids, axis=0)
+    return _ln(word + pos + typ, bp["embeddings_layernorm"], cfg.layer_norm_eps, dtype)
+
+
+def _qkv(lp, x: Array, heads: int, dtype) -> Tuple[Array, Array, Array]:
+    b, t, d = x.shape
+    shp = (b, t, heads, d // heads)
+    ap = lp["attention"]
+    return (_dense(x, ap["query"], dtype).reshape(shp),
+            _dense(x, ap["key"], dtype).reshape(shp),
+            _dense(x, ap["value"], dtype).reshape(shp))
+
+
+def _attend(q: Array, k: Array, v: Array, bias: Array, dtype) -> Array:
+    """(B,Q,H,Dh) x (B,K,H,Dh) -> (B,Q,H*Dh); bias (B|1, 1, Q, K) additive."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return ctx.reshape(*q.shape[:2], -1)
+
+
+def _layer_tail(lp, cfg: BertImgConfig, x: Array, ctx: Array, dtype) -> Array:
+    """attention_output -> LN(+res) -> gelu MLP -> LN(+res)."""
+    attn_out = _dense(ctx, lp["attention_output"], dtype)
+    x = _ln(x + attn_out, lp["attention_layernorm"], cfg.layer_norm_eps, dtype)
+    inter = jax.nn.gelu(_dense(x, lp["intermediate"], dtype), approximate=False)
+    out = _dense(inter, lp["output"], dtype)
+    return _ln(x + out, lp["output_layernorm"], cfg.layer_norm_eps, dtype)
+
+
+def _mlm_logits(params, cfg: BertImgConfig, x: Array, dtype) -> Array:
+    """BertMLMHead: transform dense + gelu + LN -> tied decoder + bias."""
+    cp = params["cls"]
+    x = _dense(x, cp["transform_dense"], dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    x = _ln(x, cp["transform_layernorm"], cfg.layer_norm_eps, dtype)
+    word = params["bert"]["word_embeddings"]["embedding"].astype(dtype)
+    logits = jnp.einsum("...d,vd->...v", x, word, preferred_element_type=jnp.float32)
+    return logits + cp["decoder_bias"]
+
+
+# ---------------------------------------------------------------------------
+# Prefill: context (OD labels + regions) K/V, computed once
+# ---------------------------------------------------------------------------
+
+class DecodeCache(NamedTuple):
+    ctx_k: Array  # (layers, B, C, H, Dh) — OD+region keys, beam-invariant
+    ctx_v: Array
+    ctx_mask: Array  # (B, C) 1 = valid context token
+    cap_k: Array  # (layers, B, S, H, Dh) — caption slots, filled as we go
+    cap_v: Array
+
+
+def prefill(params, cfg: BertImgConfig, od_ids: Array, od_seg: Array,
+            img_feats: Array, attn_mask: Array, max_seq_a: int,
+            dtype=jnp.float32) -> DecodeCache:
+    """Run the OD-label + region context once, recording per-layer K/V.
+
+    The context block is self-contained under the reference decode mask
+    (labels/regions attend among themselves, never to the caption), so its
+    K/V never change during decoding. ``attn_mask`` is the same per-example
+    (B, L, L) static block mask the full-recompute decoders take; context
+    validity is its diagonal over positions >= max_seq_a.
+    """
+    bp = params["bert"]
+    b, od_w = od_ids.shape
+    r = img_feats.shape[1]
+    heads = cfg.num_attention_heads
+
+    # validity of each context token = diagonal of the block mask
+    ctx_mask = jnp.diagonal(attn_mask[:, max_seq_a:, max_seq_a:], axis1=1, axis2=2)
+    ctx_mask = ctx_mask.astype(jnp.int32)  # (B, C)
+
+    pos_ids = (max_seq_a + jnp.arange(od_w, dtype=jnp.int32))[None, :]
+    od = _text_embed(bp, cfg, od_ids, pos_ids, od_seg, dtype)
+    img = _dense(img_feats.astype(dtype), bp["img_embedding"], dtype)
+    if cfg.use_img_layernorm:
+        img = _ln(img, bp["img_layernorm"], cfg.img_layer_norm_eps, dtype)
+    x = jnp.concatenate([od, img], axis=1)  # (B, C, D)
+
+    # all valid context tokens attend to all valid context tokens
+    bias = (1.0 - ctx_mask.astype(jnp.float32)) * NEG_BIAS
+    bias = bias[:, None, None, :]  # (B, 1, 1, C)
+
+    ks, vs = [], []
+    for i in range(cfg.num_hidden_layers):
+        lp = bp[f"layer_{i}"]
+        q, k, v = _qkv(lp, x, heads, dtype)
+        ks.append(k)
+        vs.append(v)
+        ctx = _attend(q, k, v, bias, dtype)
+        x = _layer_tail(lp, cfg, x, ctx, dtype)
+
+    s = max_seq_a
+    dh = cfg.hidden_size // heads
+    zeros = jnp.zeros((cfg.num_hidden_layers, b, s, heads, dh), dtype)
+    return DecodeCache(jnp.stack(ks), jnp.stack(vs), ctx_mask, zeros, zeros)
+
+
+# ---------------------------------------------------------------------------
+# Incremental step: two in-flight tokens
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mask_id", "dtype"))
+def _step(params, cfg: BertImgConfig, cache: DecodeCache, prev_tok: Array,
+          t: Array, *, mask_id: int, dtype=jnp.float32):
+    """One decode step at caption position ``t``.
+
+    Feeds [prev_tok @ t-1, MASK @ t]; the real token's K/V are written into
+    caption-cache slot t-1 (the previous step computed that position from a
+    [MASK] embedding, so the slot was never cached with real content) and
+    the [MASK] probe's final hidden state yields the MLM logits for
+    position t. Returns (logits (B, V), updated cache).
+    """
+    bp = params["bert"]
+    b = prev_tok.shape[0]
+    s = cache.cap_k.shape[2]
+    heads = cfg.num_attention_heads
+
+    ids = jnp.stack([prev_tok, jnp.full((b,), mask_id, jnp.int32)], axis=1)
+    pos_ids = jnp.stack([t - 1, t])[None, :]  # (1, 2), broadcasts over batch
+    type_ids = jnp.zeros((b, 2), jnp.int32)
+    x = _text_embed(bp, cfg, ids, pos_ids, type_ids, dtype)  # (B, 2, D)
+
+    # additive bias over [ctx | caption slots | 2 in-flight] keys:
+    #   slot j is valid iff j < t-1 (slots t-1 and t ride in-flight);
+    #   in-flight: prev sees itself, MASK sees prev and itself.
+    cap_valid = (jnp.arange(s, dtype=jnp.int32)[None, :] < t - 1)
+    cap_valid = jnp.broadcast_to(cap_valid, (b, s)).astype(jnp.float32)
+    ctx_part = cache.ctx_mask.astype(jnp.float32)  # (B, C)
+    keys_valid = jnp.concatenate([ctx_part, cap_valid], axis=1)  # (B, C+S)
+    row = (1.0 - keys_valid) * NEG_BIAS
+    shared = jnp.broadcast_to(row[:, None, None, :], (b, 1, 2, row.shape[-1]))
+    infl = jnp.array([[0.0, NEG_BIAS], [0.0, 0.0]], jnp.float32)
+    infl = jnp.broadcast_to(infl[None, None], (b, 1, 2, 2))
+    bias = jnp.concatenate([shared, infl], axis=3)  # (B, 1, 2, C+S+2)
+
+    new_cap_k, new_cap_v = cache.cap_k, cache.cap_v
+    for i in range(cfg.num_hidden_layers):
+        lp = bp[f"layer_{i}"]
+        q, k, v = _qkv(lp, x, heads, dtype)
+        k_all = jnp.concatenate([cache.ctx_k[i], new_cap_k[i], k], axis=1)
+        v_all = jnp.concatenate([cache.ctx_v[i], new_cap_v[i], v], axis=1)
+        ctx = _attend(q, k_all, v_all, bias, dtype)
+        # the real token at t-1 becomes part of the permanent caption cache
+        new_cap_k = jax.lax.dynamic_update_slice(
+            new_cap_k, k[:, :1][None], (i, 0, t - 1, 0, 0))
+        new_cap_v = jax.lax.dynamic_update_slice(
+            new_cap_v, v[:, :1][None], (i, 0, t - 1, 0, 0))
+        x = _layer_tail(lp, cfg, x, ctx, dtype)
+
+    logits = _mlm_logits(params, cfg, x[:, 1], dtype)  # MASK probe -> (B, V)
+    return logits, cache._replace(cap_k=new_cap_k, cap_v=new_cap_v)
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "cls_id", "sep_id", "mask_id",
+                     "pad_id", "dtype"),
+)
+def greedy_decode_cached(
+    params, od_ids: Array, od_seg: Array, img_feats: Array, attn_mask: Array,
+    *, cfg: BertImgConfig, max_steps: int, cls_id: int, sep_id: int,
+    mask_id: int, pad_id: int, dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """KV-cached greedy decode; same signature semantics and identical
+    outputs as tasks.captioning.greedy_decode (tokens (B, max_steps+1),
+    summed logprobs)."""
+    b = img_feats.shape[0]
+    max_seq_a = max_steps + 1
+    cache = prefill(params, cfg, od_ids, od_seg, img_feats, attn_mask,
+                    max_seq_a, dtype)
+    cap = jnp.full((b, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+
+    def step(carry, t):
+        cap, prev, finished, logprob, cache = carry
+        logits, cache = _step(params, cfg, cache, prev, t,
+                              mask_id=mask_id, dtype=dtype)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+        tok = jnp.where(finished, pad_id, tok)
+        tok_lp = jnp.where(finished, 0.0, tok_lp)
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, tok[:, None], cap)
+        finished = finished | (tok == sep_id)
+        return (cap, tok, finished, logprob + tok_lp, cache), None
+
+    init = (cap, jnp.full((b,), cls_id, jnp.int32), jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.float32), cache)
+    (cap, _, _, logprob, _), _ = jax.lax.scan(
+        step, init, jnp.arange(1, max_seq_a, dtype=jnp.int32))
+    return cap, logprob
+
+
+# ---------------------------------------------------------------------------
+# Sampling decode (the SCST sampling pass)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "cls_id", "sep_id", "mask_id",
+                     "pad_id", "top_k", "top_p", "temperature", "dtype"),
+)
+def sample_decode_cached(
+    params, od_ids: Array, od_seg: Array, img_feats: Array, attn_mask: Array,
+    rng: Array, *, cfg: BertImgConfig, max_steps: int, cls_id: int,
+    sep_id: int, mask_id: int, pad_id: int, top_k: int = 0, top_p: float = 1.0,
+    temperature: float = 1.0, dtype=jnp.float32,
+) -> Array:
+    """KV-cached stochastic decode; same key discipline (one split per step)
+    and identical logits as tasks.captioning.sample_decode, so the same seed
+    draws the same caption. Returns token rows (B, max_steps+1)."""
+    from aladin_tpu.tasks.captioning import top_k_top_p_filtering
+
+    b = img_feats.shape[0]
+    max_seq_a = max_steps + 1
+    cache = prefill(params, cfg, od_ids, od_seg, img_feats, attn_mask,
+                    max_seq_a, dtype)
+    cap = jnp.full((b, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+
+    def step(carry, t):
+        cap, prev, finished, key, cache = carry
+        logits, cache = _step(params, cfg, cache, prev, t,
+                              mask_id=mask_id, dtype=dtype)
+        step_logits = top_k_top_p_filtering(logits / temperature, top_k, top_p)
+        key, sub = jax.random.split(key)
+        tok = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, pad_id, tok)
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, tok[:, None], cap)
+        finished = finished | (tok == sep_id)
+        return (cap, tok, finished, key, cache), None
+
+    init = (cap, jnp.full((b,), cls_id, jnp.int32), jnp.zeros((b,), bool),
+            rng, cache)
+    (cap, _, _, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(1, max_seq_a, dtype=jnp.int32))
+    return cap
+
+
+# ---------------------------------------------------------------------------
+# Beam search decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "num_beams", "cls_id", "sep_id",
+                     "mask_id", "pad_id", "length_penalty", "dtype"),
+)
+def beam_search_decode_cached(
+    params, od_ids: Array, od_seg: Array, img_feats: Array, attn_mask: Array,
+    *, cfg: BertImgConfig, max_steps: int, num_beams: int = 5, cls_id: int,
+    sep_id: int, mask_id: int, pad_id: int, length_penalty: float = 1.0,
+    dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """KV-cached fixed-width beam search; identical outputs to
+    tasks.captioning.beam_search_decode. Caption caches are gathered by
+    source beam each step; the context caches are beam-invariant (beam
+    reordering never crosses an example boundary) and stay untouched."""
+    b = img_feats.shape[0]
+    k = num_beams
+    max_seq_a = max_steps + 1
+
+    tile = lambda x: jnp.repeat(x, k, axis=0)  # noqa: E731
+    cache = prefill(params, cfg, tile(od_ids), tile(od_seg), tile(img_feats),
+                    tile(attn_mask), max_seq_a, dtype)
+
+    cap = jnp.full((b * k, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
+    scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b,))
+    finished = jnp.zeros((b * k,), bool)
+    lengths = jnp.ones((b * k,), jnp.int32)
+    prev = jnp.full((b * k,), cls_id, jnp.int32)
+
+    def step(carry, t):
+        cap, prev, scores, finished, lengths, cap_k, cap_v = carry
+        cache_t = cache._replace(cap_k=cap_k, cap_v=cap_v)
+        logits, cache_t = _step(params, cfg, cache_t, prev, t,
+                                mask_id=mask_id, dtype=dtype)
+        step_logp = jax.nn.log_softmax(logits, axis=-1)  # (B*K, V)
+        v = step_logp.shape[-1]
+        pad_row = jnp.full((v,), -1e9).at[pad_id].set(0.0)
+        step_logp = jnp.where(finished[:, None], pad_row[None, :], step_logp)
+
+        cand = (scores[:, None] + step_logp).reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # (B, K)
+        beam_idx = (top_idx // v + jnp.arange(b)[:, None] * k).reshape(-1)
+        tok = (top_idx % v).astype(jnp.int32).reshape(-1)
+
+        cap = cap[beam_idx]
+        finished = finished[beam_idx]
+        lengths = lengths[beam_idx]
+        cap_k = cache_t.cap_k[:, beam_idx]
+        cap_v = cache_t.cap_v[:, beam_idx]
+        write_tok = jnp.where(finished, pad_id, tok)
+        cap = jnp.where(jnp.arange(max_seq_a)[None, :] == t, write_tok[:, None], cap)
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        finished = finished | (tok == sep_id)
+        return (cap, write_tok, top_scores.reshape(-1), finished, lengths,
+                cap_k, cap_v), None
+
+    (cap, _, scores, finished, lengths, _, _), _ = jax.lax.scan(
+        step, (cap, prev, scores, finished, lengths, cache.cap_k, cache.cap_v),
+        jnp.arange(1, max_seq_a, dtype=jnp.int32))
+    norm = (scores / jnp.power(lengths.astype(jnp.float32), length_penalty))
+    norm = norm.reshape(b, k)
+    best = jnp.argmax(norm, axis=1)
+    cap = cap.reshape(b, k, max_seq_a)[jnp.arange(b), best]
+    return cap, norm[jnp.arange(b), best]

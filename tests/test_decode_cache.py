@@ -1,0 +1,122 @@
+"""KV-cached decode parity: the prefill + two-in-flight-token decoder
+(tasks/decode_cache.py) must produce IDENTICAL tokens and matching scores to
+the full-recompute decoders in tasks/captioning.py, including per-example
+od/img length padding (context-validity masking via the cache)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
+from aladin_tpu.tasks.captioning import (
+    BertImageCaptioner,
+    _decode_attention_mask,
+    beam_search_decode,
+    greedy_decode,
+    sample_decode,
+)
+from aladin_tpu.tasks.decode_cache import (
+    beam_search_decode_cached,
+    greedy_decode_cached,
+    prefill,
+    sample_decode_cached,
+)
+from tests.test_captioning import VOCAB
+from tests.test_models import small_cfg
+
+
+@pytest.fixture
+def setup(rng):
+    """Captioner + decode inputs with DIFFERENT od/img lengths per example,
+    so the cached path's context-validity mask is actually exercised."""
+    cfg = small_cfg(vocab_size=len(VOCAB))
+    model = BertImageCaptioner(cfg)
+    b, max_seq_a, od_w, img_w = 3, 7, 5, 4
+    max_seq = max_seq_a + od_w
+    od_lens, img_lens = [5, 3, 2], [4, 2, 3]
+
+    od_ids = rng.randint(5, len(VOCAB), (b, od_w)).astype(np.int32)
+    od_seg = np.zeros((b, od_w), np.int32)
+    feats = rng.randn(b, img_w, cfg.img_feature_dim).astype(np.float32)
+    masks = np.stack([
+        _decode_attention_mask(max_seq_a, max_seq, img_w, ol, il)
+        for ol, il in zip(od_lens, img_lens)
+    ])
+    for i, ol in enumerate(od_lens):  # zero out padded od slots like the CLI
+        od_ids[i, ol:] = 0
+        od_seg[i, :ol] = 1
+
+    ids = np.concatenate(
+        [np.full((b, max_seq_a), VOCAB["[MASK]"], np.int32), od_ids], axis=1)
+    seg = np.concatenate([np.zeros((b, max_seq_a), np.int32), od_seg], axis=1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.array(ids), jnp.array(masks), jnp.array(seg),
+        jnp.array(feats), True)["params"]
+    kw = dict(max_steps=max_seq_a - 1, cls_id=VOCAB["[CLS]"],
+              sep_id=VOCAB["[SEP]"], mask_id=VOCAB["[MASK]"],
+              pad_id=VOCAB["[PAD]"])
+    return (model, cfg, params, jnp.array(od_ids), jnp.array(od_seg),
+            jnp.array(feats), jnp.array(masks), kw)
+
+
+def test_prefill_shapes(setup):
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = setup
+    cache = prefill(params, cfg, od_ids, od_seg, feats, masks,
+                    kw["max_steps"] + 1)
+    n_layers, b = cfg.num_hidden_layers, od_ids.shape[0]
+    c = od_ids.shape[1] + feats.shape[1]
+    h, dh = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
+    assert cache.ctx_k.shape == (n_layers, b, c, h, dh)
+    assert cache.cap_k.shape == (n_layers, b, kw["max_steps"] + 1, h, dh)
+    # context validity matches the per-example od/img lengths
+    np.testing.assert_array_equal(
+        np.asarray(cache.ctx_mask),
+        np.array([[1] * 5 + [1] * 4,
+                  [1, 1, 1, 0, 0] + [1, 1, 0, 0],
+                  [1, 1, 0, 0, 0] + [1, 1, 1, 0]]))
+
+
+def test_cached_greedy_matches_full_recompute(setup):
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = setup
+    full_toks, full_lp = greedy_decode(
+        model, params, od_ids, od_seg, feats, masks, **kw)
+    cached_toks, cached_lp = greedy_decode_cached(
+        params, od_ids, od_seg, feats, masks, cfg=cfg, **kw)
+    np.testing.assert_array_equal(np.asarray(full_toks), np.asarray(cached_toks))
+    np.testing.assert_allclose(np.asarray(full_lp), np.asarray(cached_lp),
+                               atol=2e-4)
+
+
+def test_cached_beam_matches_full_recompute(setup):
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = setup
+    for k in (1, 3):
+        full_toks, full_sc = beam_search_decode(
+            model, params, od_ids, od_seg, feats, masks, num_beams=k, **kw)
+        cached_toks, cached_sc = beam_search_decode_cached(
+            params, od_ids, od_seg, feats, masks, cfg=cfg, num_beams=k, **kw)
+        np.testing.assert_array_equal(np.asarray(full_toks),
+                                      np.asarray(cached_toks))
+        np.testing.assert_allclose(np.asarray(full_sc), np.asarray(cached_sc),
+                                   atol=2e-4)
+
+
+def test_cached_sample_matches_full_recompute(setup):
+    """Same seed + identical logits -> the same stochastic caption."""
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = setup
+    rng_key = jax.random.PRNGKey(7)
+    full = sample_decode(model, params, od_ids, od_seg, feats, masks,
+                         rng_key, top_k=4, **kw)
+    cached = sample_decode_cached(params, od_ids, od_seg, feats, masks,
+                                  rng_key, cfg=cfg, top_k=4, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+
+def test_cached_beam1_matches_cached_greedy(setup):
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = setup
+    g_toks, _ = greedy_decode_cached(
+        params, od_ids, od_seg, feats, masks, cfg=cfg, **kw)
+    b_toks, _ = beam_search_decode_cached(
+        params, od_ids, od_seg, feats, masks, cfg=cfg, num_beams=1, **kw)
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(b_toks))
