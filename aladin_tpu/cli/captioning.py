@@ -139,6 +139,9 @@ def main(argv=None) -> int:
     p.add_argument("--min_constraints_to_satisfy", type=int, default=2)
     p.add_argument("--log_step", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh_shape", default="dp=-1",
+                   help="dp mesh for data-parallel CE training (the "
+                        "reference's DDP wrap, ref:run_captioning.py:412-415)")
     p.add_argument("--synthetic", action="store_true")
     ns = p.parse_args(argv)
     logger = setup_logger("vlpretrain", ns.output_dir)
@@ -200,6 +203,10 @@ def main(argv=None) -> int:
     tx, _ = make_optimizer(ns.learning_rate, ns.warmup_steps,
                            ns.epochs * steps_per_epoch)
     opt_state = tx.init(params)
+    from aladin_tpu.cli.common import setup_dp_mesh
+
+    params, opt_state, put = setup_dp_mesh(ns.mesh_shape, bs, params, opt_state,
+                                           logger)
 
     @jax.jit
     def train_step(params, opt_state, ids, attn, seg, feats, midx, mids, epoch, key):
@@ -223,7 +230,7 @@ def main(argv=None) -> int:
             batch = collate([items[j] for j in order[i * bs : (i + 1) * bs]])
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(
-                params, opt_state, *batch, jnp.int32(epoch), sub)
+                params, opt_state, *map(put, batch), jnp.int32(epoch), sub)
             losses.append(loss)
         vals = jax.device_get(losses)
         logger.info(f"epoch {epoch} loss {np.mean(vals):.4f} ({time.time() - t0:.1f}s)")

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
                    help="vqa only; gqa/nlvr use ce (ref:run_vqa.py loss_type)")
     p.add_argument("--log_step", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh_shape", default="dp=-1",
+                   help="dp mesh for data-parallel training (the reference's "
+                        "DataParallel wrap, ref:run_vqa.py:507-509)")
     p.add_argument("--do_test", action="store_true",
                    help="dump test predictions json (ref:run_vqa.py:787-839)")
     p.add_argument("--synthetic", action="store_true")
@@ -171,6 +174,11 @@ def main(argv=None) -> int:
     tx, sched = make_optimizer(ns.learning_rate, ns.warmup_steps,
                                ns.epochs * steps_per_epoch)
     opt_state = tx.init(params)
+    from aladin_tpu.cli.common import setup_dp_mesh
+
+    params, opt_state, put = setup_dp_mesh(
+        ns.mesh_shape, min(ns.train_batch_size, len(train)), params, opt_state,
+        logger)
 
     @jax.jit
     def train_step(params, opt_state, ids, mask, seg, feats, labels, drop_key):
@@ -206,7 +214,8 @@ def main(argv=None) -> int:
         for i, idx in enumerate(_batches(len(train), min(ns.train_batch_size, len(train)), rng)):
             batch = convert([train[j] for j in idx])
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(params, opt_state, *batch[:5], sub)
+            params, opt_state, loss = train_step(
+                params, opt_state, *map(put, batch[:5]), sub)
             losses.append(loss)
             if (i + 1) % ns.log_step == 0:
                 vals = jax.device_get(losses)

@@ -220,3 +220,42 @@ def shard_state_and_loaders(state, mesh, cfg: ExperimentConfig, *loaders):
         if loader is not None:
             loader.sharding = sharding
     return state
+
+
+def setup_dp_mesh(mesh_shape: str, batch_size: int, params, opt_state, logger=None):
+    """dp-mesh placement for the legacy task drivers: replicate params and
+    optimizer state over the mesh and return a ``put`` that shards batch
+    arrays over the dp axis — the TPU equivalent of the reference's torch
+    DataParallel/DDP wrap (ref:oscar/run_captioning.py:412-415,
+    run_vqa.py:507-509, run_retrieval.py:348-349). XLA emits the gradient
+    all-reduce inside the jitted step; no explicit collectives.
+
+    Single device (or dp=1): identity placement, ``put = jnp.asarray``.
+    Batches whose leading dim does not divide dp (tail batches of odd-sized
+    fixtures) fall back to unsharded placement rather than crashing.
+    Returns (params, opt_state, put).
+    """
+    if len(jax.devices()) > 1:
+        from aladin_tpu.parallel.mesh import create_mesh
+        from aladin_tpu.parallel.sharding import batch_sharding, replicated
+
+        mesh = create_mesh(mesh_shape)
+        if mesh.size > 1:
+            dp = mesh.shape.get("dp", mesh.size)
+            assert batch_size % dp == 0, (
+                f"train batch size {batch_size} must be divisible by dp={dp}"
+            )
+            params = jax.device_put(params, replicated(mesh))
+            opt_state = jax.device_put(opt_state, replicated(mesh))
+            sharding = batch_sharding(mesh)
+            if logger is not None:
+                logger.info(f"mesh: {dict(mesh.shape)}")
+
+            def put(x):
+                x = np.asarray(x)
+                if x.ndim and x.shape[0] % dp == 0:
+                    return jax.device_put(x, sharding)
+                return jnp.asarray(x)
+
+            return params, opt_state, put
+    return params, opt_state, jnp.asarray

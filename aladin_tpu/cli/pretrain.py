@@ -146,18 +146,10 @@ def main(argv=None) -> int:
     opt_state = tx.init(params)
 
     # dp mesh placement: replicate params/opt, shard batches (SURVEY.md S2.5)
-    sharding = None
-    if len(jax.devices()) > 1:
-        from aladin_tpu.parallel.mesh import create_mesh
-        from aladin_tpu.parallel.sharding import batch_sharding, replicated
+    from aladin_tpu.cli.common import setup_dp_mesh
 
-        mesh = create_mesh(ns.mesh_shape)
-        if mesh.size > 1:
-            assert ns.train_batch_size % mesh.shape.get("dp", mesh.size) == 0
-            params = jax.device_put(params, replicated(mesh))
-            opt_state = jax.device_put(opt_state, replicated(mesh))
-            sharding = batch_sharding(mesh)
-            logger.info(f"mesh: {dict(mesh.shape)}")
+    params, opt_state, put = setup_dp_mesh(
+        ns.mesh_shape, ns.train_batch_size, params, opt_state, logger)
 
     step_fn = make_pretrain_step(model, tx)
     key = jax.random.PRNGKey(ns.seed)
@@ -165,7 +157,6 @@ def main(argv=None) -> int:
     for it in range(ns.max_iters):
         idx = rng.randint(len(corpus), size=ns.train_batch_size)
         b = corpus.collate(idx, epoch=it)
-        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jnp.asarray
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step_fn(
             params, opt_state, put(b["input_ids"]), put(b["attention_mask"]),

