@@ -152,6 +152,14 @@ def main(argv=None) -> int:
         ns.mesh_shape, ns.train_batch_size, params, opt_state, logger)
 
     step_fn = make_pretrain_step(model, tx)
+    # main-process-only TB writer with smoothed windows, the reference's
+    # pretrain observability (ref:oscar/run_oscarplus_pretrain.py +
+    # oscar/utils/metric_logger.py:115-185)
+    tb = None
+    if distributed.is_main_process():
+        from aladin_tpu.utils.metric_logger import TensorboardLogger
+
+        tb = TensorboardLogger(os.path.join(ns.output_dir, "tb"))
     key = jax.random.PRNGKey(ns.seed)
     pending, t0 = [], time.time()
     for it in range(ns.max_iters):
@@ -176,6 +184,9 @@ def main(argv=None) -> int:
                 + " ".join(f"{k} {v:.4f}" for k, v in sorted(agg.items()))
                 + f" lr {float(sched(it)):.2e} {dt * 1000:.0f} ms/it"
             )
+            if tb is not None:
+                tb.iteration = it + 1
+                tb.update(lr=float(sched(it)), batch_time=dt, **agg)
             pending, t0 = [], time.time()
         if (it + 1) % ns.ckpt_period == 0 or it + 1 == ns.max_iters:
             import orbax.checkpoint as ocp

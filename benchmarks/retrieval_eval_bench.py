@@ -38,14 +38,25 @@ from aladin_tpu.models.aladin import ALADIN, Batch
 from aladin_tpu.models.bert_img import BertImgConfig
 
 
-def synth_batch(key, b, l, r, feat_dim, vocab):
-    """One synthetic disentangled batch, generated entirely on device."""
+def synth_batch(key, b, l, r, feat_dim, vocab, feats_base=None):
+    """One synthetic disentangled batch, generated entirely on device.
+
+    When ``feats_base`` is given, the expensive (B, R, 2054) normal draw is
+    replaced by a cheap key-dependent perturbation of the pre-generated
+    block — threefry RNG for ~27 MB of floats per step would otherwise
+    dominate an encode benchmark (the perturbation also keeps the scan body
+    key-dependent so XLA cannot hoist it)."""
     ks = jax.random.split(key, 6)
     cap_len = jax.random.randint(ks[0], (b,), 8, l + 1, jnp.int32)
     img_len = jax.random.randint(ks[1], (b,), 4, r + 1, jnp.int32)
     lab_len = jax.random.randint(ks[2], (b,), 4, l + 1, jnp.int32)
     pos_l = jnp.arange(l, dtype=jnp.int32)[None, :]
     pos_r = jnp.arange(r, dtype=jnp.int32)[None, :]
+    if feats_base is None:
+        feats = jax.random.normal(ks[5], (b, r, feat_dim), jnp.float32)
+    else:
+        eps = jax.random.uniform(ks[5], (b, 1, 1), jnp.float32, 0.99, 1.01)
+        feats = feats_base * eps
     return Batch(
         txt_ids=jax.random.randint(ks[3], (b, l), 3, vocab, jnp.int32),
         txt_mask=(pos_l < cap_len[:, None]).astype(jnp.int32),
@@ -56,7 +67,7 @@ def synth_batch(key, b, l, r, feat_dim, vocab):
             [(pos_l < lab_len[:, None]), (pos_r < img_len[:, None])], axis=1
         ).astype(jnp.int32),
         img_type=jnp.ones((b, l), jnp.int32),
-        img_feats=jax.random.normal(ks[5], (b, r, feat_dim), jnp.float32),
+        img_feats=feats,
         img_len=img_len,
     )
 
@@ -86,12 +97,15 @@ def main() -> int:
                                            bert_cfg.img_feature_dim,
                                            bert_cfg.vocab_size), True)["params"]
 
+    feats_base = jax.random.normal(
+        jax.random.PRNGKey(9), (b, r, bert_cfg.img_feature_dim), jnp.float32)
+
     @jax.jit
     def encode_corpus(params, key):
         """All 25k rows through the dual encoder in one scan; buffers in HBM."""
         def body(_, k):
             batch = synth_batch(k, b, l, r, bert_cfg.img_feature_dim,
-                                bert_cfg.vocab_size)
+                                bert_cfg.vocab_size, feats_base)
             out = model.apply({"params": params}, batch, True)
             return None, (out.img_set.astype(jnp.bfloat16),
                           out.cap_seq.astype(jnp.bfloat16),
