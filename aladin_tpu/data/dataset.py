@@ -281,6 +281,12 @@ class RetrievalDataset:
             self.captions[cap_key][cap_idx], self.get_od_labels(key), self.get_image(key)
         )
 
+    def length_hint(self, index: int) -> int:
+        """Cheap caption-length proxy (word count, no tokenization) for
+        length-sorted eval batching (BatchLoader sort_by_length)."""
+        _, (cap_key, cap_idx) = self.get_image_caption_index(index)
+        return len(self.captions[cap_key][cap_idx].split())
+
     def collate(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         """Static-shape batch (numpy) - MyCollate equivalent
         (ref:dataset.py:332-361)."""

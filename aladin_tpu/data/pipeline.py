@@ -33,6 +33,45 @@ def batch_from_numpy(d, sharding=None) -> Batch:
     )
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-int(x) // m) * m
+
+
+def trim_batch(d, multiple: int):
+    """Trim a collated numpy batch to its max real lengths, rounded up.
+
+    TPU length bucketing: padding the text stream to the flag maximum (50)
+    wastes most of the encode FLOPs on real COCO captions (~14 wordpieces).
+    Slicing each batch to round_up(batch max, multiple) keeps shapes static
+    per bucket — jit compiles once per distinct (text, region) width pair,
+    a handful with coarse multiples — while every kept position computes
+    what the full-width batch would (embeddings and masks are
+    position-stable; outputs agree up to batch-shape-dependent float
+    rounding, verified to 2e-5 and to R@K equality in tests). Pair with
+    ``sort_by_length`` so batch maxima hug the row lengths.
+    """
+    l_t = d["txt_ids"].shape[1]
+    r = d["img_feats"].shape[1]
+    lab_len = d["img_mask"][:, :l_t].sum(axis=1)
+    m_t = min(l_t, _round_up(max(d["cap_len"].max(), lab_len.max()), multiple))
+    m_r = min(r, _round_up(d["img_len"].max(), multiple))
+    if m_t == l_t and m_r == r:
+        return d
+    return {
+        "txt_ids": d["txt_ids"][:, :m_t],
+        "txt_mask": d["txt_mask"][:, :m_t],
+        "txt_type": d["txt_type"][:, :m_t],
+        "cap_len": d["cap_len"],
+        "img_ids": d["img_ids"][:, :m_t],
+        "img_mask": np.concatenate(
+            [d["img_mask"][:, :m_t], d["img_mask"][:, l_t : l_t + m_r]], axis=1
+        ),
+        "img_type": d["img_type"][:, :m_t],
+        "img_feats": d["img_feats"][:, :m_r],
+        "img_len": d["img_len"],
+    }
+
+
 class BatchLoader:
     """Iterates static-size batches with shuffle + background prefetch."""
 
@@ -46,6 +85,8 @@ class BatchLoader:
         prefetch: int = 2,
         sharding=None,
         num_threads: int = 4,
+        sort_by_length: bool = False,
+        trim_multiple: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -55,16 +96,29 @@ class BatchLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.num_threads = num_threads
+        self.sort_by_length = sort_by_length
+        self.trim_multiple = trim_multiple
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _index_batches(self, epoch: int):
+    def row_order(self, epoch: int = 0) -> np.ndarray:
+        """The dataset-row order this epoch visits (callers that enable
+        sort_by_length invert it to restore dataset order, e.g. the encode
+        buffers in cli/test)."""
         n = len(self.dataset)
+        if self.sort_by_length and hasattr(self.dataset, "length_hint"):
+            hints = np.asarray([self.dataset.length_hint(i) for i in range(n)])
+            return np.argsort(hints, kind="stable")
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def _index_batches(self, epoch: int):
+        n = len(self.dataset)
+        order = self.row_order(epoch)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, stop, self.batch_size):
             idx = order[s : s + self.batch_size]
@@ -83,10 +137,15 @@ class BatchLoader:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        def to_batch(d):
+            if self.trim_multiple > 0:
+                d = trim_batch(d, self.trim_multiple)
+            return batch_from_numpy(d, self.sharding)
+
         idx_iter = self._index_batches(epoch)
         if self.num_threads <= 1:
             for idx in idx_iter:
-                yield batch_from_numpy(self.dataset.collate(idx), self.sharding)
+                yield to_batch(self.dataset.collate(idx))
             return
 
         with ThreadPoolExecutor(self.num_threads) as pool:
@@ -94,6 +153,6 @@ class BatchLoader:
             for idx in idx_iter:
                 inflight.append(pool.submit(self.dataset.collate, idx))
                 if len(inflight) >= self.num_threads + self.prefetch:
-                    yield batch_from_numpy(inflight.popleft().result(), self.sharding)
+                    yield to_batch(inflight.popleft().result())
             while inflight:
-                yield batch_from_numpy(inflight.popleft().result(), self.sharding)
+                yield to_batch(inflight.popleft().result())

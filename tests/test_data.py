@@ -190,3 +190,73 @@ def test_native_reader_thread_safety(synthetic_root):
         results = list(pool.map(reader.read_features, idxs))
     for i, got in zip(idxs, results):
         np.testing.assert_array_equal(got, expected[i])
+
+
+def test_trim_batch_slices_consistently(vocab_file, synthetic_root):
+    from aladin_tpu.data.pipeline import trim_batch
+
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ds = RetrievalDataset(tok, make_args(synthetic_root), "train", is_train=True)
+    d = ds.collate(list(range(8)))
+    t = trim_batch(d, 4)
+    l_t, r = d["txt_ids"].shape[1], d["img_feats"].shape[1]
+    m_t, m_r = t["txt_ids"].shape[1], t["img_feats"].shape[1]
+    assert m_t % 4 == 0 or m_t == l_t
+    assert m_t >= d["cap_len"].max() and m_r >= d["img_len"].max()
+    # label lengths preserved: trimmed mask text slots cover all real labels
+    lab_len = d["img_mask"][:, :l_t].sum(1)
+    assert m_t >= lab_len.max()
+    np.testing.assert_array_equal(t["txt_ids"], d["txt_ids"][:, :m_t])
+    np.testing.assert_array_equal(t["img_mask"][:, :m_t], d["img_mask"][:, :m_t])
+    np.testing.assert_array_equal(t["img_mask"][:, m_t:], d["img_mask"][:, l_t : l_t + m_r])
+    np.testing.assert_array_equal(t["img_feats"], d["img_feats"][:, :m_r])
+    # no real content beyond the trim point
+    assert not d["txt_mask"][:, m_t:].any()
+    assert not d["img_mask"][:, l_t + m_r :].any()
+
+
+def test_bucketed_encode_matches_plain(vocab_file, synthetic_root):
+    """Length-sorted + trimmed encode must reproduce the plain encode
+    buffers exactly after inverse permutation (the --bucketed_encode path)."""
+    import jax
+
+    from aladin_tpu.config import ExperimentConfig
+    from aladin_tpu.data.pipeline import BatchLoader
+    from aladin_tpu.eval.encode import encode_data
+    from aladin_tpu.models.aladin import ALADIN
+    from aladin_tpu.models.bert_img import BertImgConfig
+    from aladin_tpu.train.step import make_eval_step
+
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    ds = RetrievalDataset(tok, make_args(synthetic_root), "test", is_train=False)
+    cfg = ExperimentConfig.from_dict(
+        {"model": {"embed-size": 32, "tern-layers": 1},
+         "training": {"loss-type": "matching"}})
+    bert_cfg = BertImgConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             intermediate_size=64, max_position_embeddings=64,
+                             img_feature_dim=32)
+    model = ALADIN(cfg, bert_cfg)
+
+    plain = BatchLoader(ds, 8, shuffle=False, drop_last=False, num_threads=1)
+    bucketed = BatchLoader(ds, 8, shuffle=False, drop_last=False, num_threads=1,
+                           sort_by_length=True, trim_multiple=4)
+    params = model.init(jax.random.PRNGKey(0), next(iter(plain.epoch(0))), True)["params"]
+    step = make_eval_step(model)
+
+    buf = max(20, 12) + 1
+    ie, ce, il, cl = encode_data(step, params, plain, buffer_len=buf)
+    ie2, ce2, il2, cl2 = encode_data(step, params, bucketed, buffer_len=buf)
+    inv = np.argsort(bucketed.row_order(0), kind="stable")
+    np.testing.assert_array_equal(il, il2[inv])
+    np.testing.assert_array_equal(cl, cl2[inv])
+    # compare only REAL positions: beyond each row's length the plain
+    # buffers hold pad-token model outputs while trimmed buffers hold the
+    # untouched zeros — every consumer masks by length (slot 0 = global,
+    # alignment scoring masks by img_len/cap_len)
+    ie2, ce2 = ie2[inv], ce2[inv]
+    for i in range(len(il)):
+        np.testing.assert_allclose(ie[i, : il[i]], ie2[i, : il[i]], atol=2e-5)
+        np.testing.assert_allclose(ce[i, : cl[i]], ce2[i, : cl[i]], atol=2e-5)
+    np.testing.assert_allclose(ie[:, 0], ie2[:, 0], atol=2e-5)  # globals
+    np.testing.assert_allclose(ce[:, 0], ce2[:, 0], atol=2e-5)
