@@ -298,6 +298,9 @@ def main(argv=None) -> int:
             logger.info(f"scst epoch {epoch} loss {np.mean(losses):.4f} "
                         f"mean-advantage {np.mean(rews):.4f} ({time.time() - t0:.1f}s)")
     if ns.use_cbs:
+        if ns.kv_cache:
+            logger.warning("--kv_cache has no effect with --use_cbs: the "
+                           "constrained beam search decoder is full-recompute")
         from aladin_tpu.tasks.cbs import (
             ConstraintFilter,
             FiniteStateMachineBuilder,

@@ -242,9 +242,16 @@ def setup_dp_mesh(mesh_shape: str, batch_size: int, params, opt_state, logger=No
         mesh = create_mesh(mesh_shape)
         if mesh.size > 1:
             dp = mesh.shape.get("dp", mesh.size)
-            assert batch_size % dp == 0, (
-                f"train batch size {batch_size} must be divisible by dp={dp}"
-            )
+            if batch_size % dp != 0:
+                # fall back to unsharded rather than crash: the default
+                # mesh_shape dp=-1 auto-engages on any multi-device host
+                if logger is not None:
+                    logger.warning(
+                        f"train batch size {batch_size} not divisible by "
+                        f"dp={dp}; running unsharded (pass --mesh_shape dp=1 "
+                        "to silence, or a divisible batch size to shard)"
+                    )
+                return params, opt_state, jnp.asarray
             params = jax.device_put(params, replicated(mesh))
             opt_state = jax.device_put(opt_state, replicated(mesh))
             sharding = batch_sharding(mesh)

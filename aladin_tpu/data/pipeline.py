@@ -98,6 +98,13 @@ class BatchLoader:
         self.num_threads = num_threads
         self.sort_by_length = sort_by_length
         self.trim_multiple = trim_multiple
+        if sort_by_length and shuffle:
+            raise ValueError(
+                "sort_by_length and shuffle are mutually exclusive: length "
+                "sorting fixes the visit order (it exists for eval encoding); "
+                "a shuffled training loader must not silently lose its "
+                "randomization"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)

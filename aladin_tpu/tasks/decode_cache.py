@@ -330,9 +330,17 @@ def beam_search_decode_cached(
     k = num_beams
     max_seq_a = max_steps + 1
 
-    tile = lambda x: jnp.repeat(x, k, axis=0)  # noqa: E731
-    cache = prefill(params, cfg, tile(od_ids), tile(od_seg), tile(img_feats),
-                    tile(attn_mask), max_seq_a, dtype)
+    # prefill on the B originals only — the context is beam-invariant — then
+    # repeat the cached K/V across beams (k-fold cheaper than tiling inputs)
+    cache = prefill(params, cfg, od_ids, od_seg, img_feats, attn_mask,
+                    max_seq_a, dtype)
+    cache = DecodeCache(
+        ctx_k=jnp.repeat(cache.ctx_k, k, axis=1),
+        ctx_v=jnp.repeat(cache.ctx_v, k, axis=1),
+        ctx_mask=jnp.repeat(cache.ctx_mask, k, axis=0),
+        cap_k=jnp.repeat(cache.cap_k, k, axis=1),
+        cap_v=jnp.repeat(cache.cap_v, k, axis=1),
+    )
 
     cap = jnp.full((b * k, max_seq_a), mask_id, jnp.int32).at[:, 0].set(cls_id)
     scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1), jnp.float32), (b,))

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aladin_tpu.config import ExperimentConfig
 from aladin_tpu.eval.recall import ranks_from_score_matrix, recall_metrics
@@ -38,7 +39,8 @@ from aladin_tpu.models.aladin import ALADIN, Batch
 from aladin_tpu.models.bert_img import BertImgConfig
 
 
-def synth_batch(key, b, l, r, feat_dim, vocab, feats_base=None):
+def synth_batch(key, b, l, r, feat_dim, vocab, feats_base=None,
+                min_cap_len=8, max_cap_len=None):
     """One synthetic disentangled batch, generated entirely on device.
 
     When ``feats_base`` is given, the expensive (B, R, 2054) normal draw is
@@ -47,7 +49,9 @@ def synth_batch(key, b, l, r, feat_dim, vocab, feats_base=None):
     dominate an encode benchmark (the perturbation also keeps the scan body
     key-dependent so XLA cannot hoist it)."""
     ks = jax.random.split(key, 6)
-    cap_len = jax.random.randint(ks[0], (b,), 8, l + 1, jnp.int32)
+    hi = min(max_cap_len or l, l)
+    cap_len = jax.random.randint(ks[0], (b,), min(min_cap_len, hi), hi + 1,
+                                 jnp.int32)
     img_len = jax.random.randint(ks[1], (b,), 4, r + 1, jnp.int32)
     lab_len = jax.random.randint(ks[2], (b,), 4, l + 1, jnp.int32)
     pos_l = jnp.arange(l, dtype=jnp.int32)[None, :]
@@ -79,6 +83,13 @@ def main() -> int:
     p.add_argument("--max_seq_length", type=int, default=50)
     p.add_argument("--max_img_seq_length", type=int, default=34)
     p.add_argument("--score_dtype", default="int8", choices=["int8", "bfloat16"])
+    p.add_argument("--bucketed", action="store_true",
+                   help="encode with length-bucketed batch shapes (text "
+                        "widths 16/32/50) over a realistic COCO caption-"
+                        "length distribution (~16 +/- 3 wordpieces incl "
+                        "CLS/SEP) — the cli/test --bucketed_encode strategy. "
+                        "The full-width encode cost is length-independent, "
+                        "so compare directly against the default run.")
     ns = p.parse_args()
 
     n_rows = ns.n_images * 5  # 5 captions per image, reference row grouping
@@ -100,20 +111,55 @@ def main() -> int:
     feats_base = jax.random.normal(
         jax.random.PRNGKey(9), (b, r, bert_cfg.img_feature_dim), jnp.float32)
 
-    @jax.jit
-    def encode_corpus(params, key):
-        """All 25k rows through the dual encoder in one scan; buffers in HBM."""
+    import functools
+
+    @functools.partial(jax.jit,
+                       static_argnames=("width", "steps", "min_cap", "max_cap"))
+    def encode_scan(params, key, *, width, steps, min_cap=8, max_cap=None):
+        """`steps` batches through the dual encoder at text width `width`."""
         def body(_, k):
-            batch = synth_batch(k, b, l, r, bert_cfg.img_feature_dim,
-                                bert_cfg.vocab_size, feats_base)
+            batch = synth_batch(k, b, width, r, bert_cfg.img_feature_dim,
+                                bert_cfg.vocab_size, feats_base,
+                                min_cap_len=min_cap, max_cap_len=max_cap)
             out = model.apply({"params": params}, batch, True)
             return None, (out.img_set.astype(jnp.bfloat16),
                           out.cap_seq.astype(jnp.bfloat16),
                           out.img_global.astype(jnp.float32),
                           out.cap_global.astype(jnp.float32),
                           out.img_len, out.cap_len)
-        _, ys = jax.lax.scan(body, None, jax.random.split(key, n_steps))
+        _, ys = jax.lax.scan(body, None, jax.random.split(key, steps))
         return jax.tree.map(lambda y: y.reshape(-1, *y.shape[2:]), ys)
+
+    def encode_corpus(params, key):
+        """All 25k rows in one full-width scan; buffers stay in HBM."""
+        return encode_scan(params, key, width=l, steps=n_steps, max_cap=l)
+
+    # realistic COCO wordpiece-length mix (~16 +/- 3 incl CLS/SEP) split
+    # into the text-width buckets cli/test --bucketed_encode would compile
+    lens = np.random.RandomState(0).normal(16, 3, n_rows).clip(10, l).astype(int)
+    edges = sorted({min(16, l), min(32, l), l})  # clamp buckets to full width
+    bucket_rows, lo = [], int(lens.min())
+    for w in edges:
+        n_w = int(((lens >= lo) & (lens <= w)).sum())
+        if n_w:
+            bucket_rows.append((w, lo, w, n_w))
+        lo = w + 1
+
+    def encode_corpus_bucketed(params, key):
+        """Bucket counts round UP to whole batches (the timed work includes
+        the rounding slack); outputs are sliced back to exactly n_rows so the
+        scoring stage sees the same corpus size as the full-width run."""
+        parts = []
+        for i, (w, lo, hi, n_w) in enumerate(bucket_rows):
+            steps = -(-n_w // b)
+            ys = encode_scan(params, jax.random.fold_in(key, i),
+                             width=w, steps=steps, min_cap=lo, max_cap=hi)
+            if w < l:  # pad caption sets back to full width for scoring
+                ys = (ys[0], jnp.pad(ys[1], ((0, 0), (0, l - w), (0, 0))),
+                      *ys[2:])
+            parts.append(tuple(a[:n_w] for a in ys))
+        return tuple(jnp.concatenate([p[j] for p in parts])[:n_rows]
+                     for j in range(6))
 
     @jax.jit
     def matching_ranks(img_glob, cap_glob):
@@ -135,14 +181,16 @@ def main() -> int:
         fetch(out)
         return time.time() - t0 - 0.025, out
 
+    encode = encode_corpus_bucketed if ns.bucketed else encode_corpus
+
     # warmup: compile everything + tunnel
-    enc = encode_corpus(params, jax.random.PRNGKey(2))
+    enc = encode(params, jax.random.PRNGKey(2))
     float(enc[4][0])
     _ = matching_ranks(enc[2], enc[3]); float(_[0][0])
     _ = alignment_ranks(enc[0], enc[1], enc[4], enc[5]); float(_[0][0])
 
     results = {}
-    t, enc = timed(lambda: encode_corpus(params, jax.random.PRNGKey(3)),
+    t, enc = timed(lambda: encode(params, jax.random.PRNGKey(3)),
                    lambda o: float(o[4][0]))
     results["encode_s"] = t
     img_set, cap_seq, img_glob, cap_glob, img_len, cap_len = enc
@@ -156,7 +204,8 @@ def main() -> int:
     # sanity: random embeddings -> chance-level recall, but ranks must be sane
     m = recall_metrics(jax.device_get(mr[0]))
     results["sanity_i2t_meanr"] = m["meanr"]
-    results["config"] = (f"{ns.n_images}x{n_rows} rows, VinVL-base bf16 encode, "
+    results["config"] = (f"{ns.n_images}x{n_rows} rows, VinVL-base bf16 encode"
+                         f"{' (length-bucketed 16/32/50)' if ns.bucketed else ''}, "
                          f"{ns.score_dtype} alignment scoring, B={b}, 1 chip")
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in results.items()}))

@@ -1,0 +1,87 @@
+"""ALADIN training-step throughput on the real chip, at several batch sizes.
+
+Reproduces the README "Measured performance" train rows: the full jitted
+train step (dual 12-layer VinVL-base forward, alignment + matching +
+distillation losses, backward, global-norm clip, Adam) on synthetic
+device-generated batches at the reference geometry (50 text tokens, 34
+regions, 2054-d features; ref:alad/train.py:388-471 training regime).
+
+Batch-size knobs map to the memory features that unlock them:
+  B <= 128: plain; B 256-512: remat + alignment-chunk; B >= 1024:
+  encoder-microbatch (checkpointed encoder scan, full-batch loss).
+
+    python benchmarks/train_bench.py [--batches 32,128,512]
+
+Axon-relay timing rules apply (scalar fetch, subtract ~25 ms RT; see
+.claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from aladin_tpu.config import ExperimentConfig
+from aladin_tpu.models.aladin import ALADIN
+from aladin_tpu.models.bert_img import BertImgConfig
+from aladin_tpu.train.state import create_train_state
+from aladin_tpu.train.step import make_train_step
+from benchmarks.retrieval_eval_bench import synth_batch
+
+
+def config_for(b: int) -> dict:
+    training = {"loss-type": "alignment-distillation", "loss-weights": [1, 1],
+                "lr": 1e-5, "bs": b}
+    model = {"embed-size": 768, "tern-layers": 2}
+    if b >= 256:
+        training["alignment-chunk"] = 128
+    if b >= 1024:
+        training["encoder-microbatch"] = 256
+    return {"model": model, "training": training}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="32,128,512")
+    p.add_argument("--steps", type=int, default=5)
+    ns = p.parse_args()
+
+    results = {}
+    for b in (int(x) for x in ns.batches.split(",")):
+        d = config_for(b)
+        cfg = ExperimentConfig.from_dict(d)
+        bert_cfg = BertImgConfig(remat=b >= 256)
+        model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
+        batch = synth_batch(jax.random.PRNGKey(0), b, 50, 34,
+                            bert_cfg.img_feature_dim, bert_cfg.vocab_size)
+        params = model.init(jax.random.PRNGKey(1), batch, True)["params"]
+        state = create_train_state(cfg, params, steps_per_epoch=100)
+        step = make_train_step(model, cfg)
+
+        state, metrics = step(state, batch, jnp.int32(0), jax.random.PRNGKey(2))
+        float(metrics["loss"])  # compile + warmup fetch
+        best = float("inf")
+        for i in range(ns.steps):
+            t0 = time.time()
+            state, metrics = step(state, batch, jnp.int32(0), jax.random.PRNGKey(3 + i))
+            float(metrics["loss"])
+            best = min(best, time.time() - t0 - 0.025)
+        results[f"B{b}_ms"] = round(best * 1000, 1)
+        results[f"B{b}_samples_per_s"] = round(b / best, 1)
+        del state, params, step  # free HBM before the next size
+
+    results["config"] = "VinVL-base bf16, L=50/R=34, alignment+matching+distill, 1 chip"
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

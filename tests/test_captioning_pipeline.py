@@ -157,3 +157,23 @@ def test_captioning_driver_beam(tmp_path):
     assert rc == 0
     metrics = json.load(open(os.path.join(out, "metrics.json")))
     assert metrics["Bleu_1"] > 0.3, metrics
+
+
+@pytest.mark.slow
+def test_kv_cache_driver_e2e(tmp_path):
+    """--kv_cache: the CLI wiring of the cached decoders (greedy decode at
+    eval + the sampled/greedy cached pair inside SCST) must run end-to-end
+    and learn as well as the full-recompute path."""
+    from aladin_tpu.cli.captioning import main
+
+    out = str(tmp_path / "kv")
+    rc = main(["--synthetic", "--epochs", "6", "--scst_epochs", "1",
+               "--kv_cache", "--train_batch_size", "8",
+               "--max_seq_length", "24", "--max_seq_a_length", "12",
+               "--max_img_seq_length", "8", "--img_feature_dim", "16",
+               "--learning_rate", "3e-3", "--output_dir", out])
+    assert rc == 0
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["Bleu_1"] > 0.5, metrics
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "scst epoch 0" in log

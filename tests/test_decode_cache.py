@@ -27,11 +27,10 @@ from tests.test_captioning import VOCAB
 from tests.test_models import small_cfg
 
 
-@pytest.fixture
-def setup(rng):
+def _build(rng, **cfg_kw):
     """Captioner + decode inputs with DIFFERENT od/img lengths per example,
     so the cached path's context-validity mask is actually exercised."""
-    cfg = small_cfg(vocab_size=len(VOCAB))
+    cfg = small_cfg(vocab_size=len(VOCAB), **cfg_kw)
     model = BertImageCaptioner(cfg)
     b, max_seq_a, od_w, img_w = 3, 7, 5, 4
     max_seq = max_seq_a + od_w
@@ -59,6 +58,22 @@ def setup(rng):
               pad_id=VOCAB["[PAD]"])
     return (model, cfg, params, jnp.array(od_ids), jnp.array(od_seg),
             jnp.array(feats), jnp.array(masks), kw)
+
+
+@pytest.fixture
+def setup(rng):
+    return _build(rng)
+
+
+def test_cached_greedy_parity_without_img_layernorm(rng):
+    """Config-variant guard: the hand-rolled layer math in decode_cache must
+    track models/bert_img.py across config knobs, not just the default."""
+    model, cfg, params, od_ids, od_seg, feats, masks, kw = _build(
+        rng, use_img_layernorm=False)
+    full_toks, _ = greedy_decode(model, params, od_ids, od_seg, feats, masks, **kw)
+    cached_toks, _ = greedy_decode_cached(
+        params, od_ids, od_seg, feats, masks, cfg=cfg, **kw)
+    np.testing.assert_array_equal(np.asarray(full_toks), np.asarray(cached_toks))
 
 
 def test_prefill_shapes(setup):
