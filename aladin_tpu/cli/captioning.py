@@ -64,8 +64,11 @@ def decode_inputs(tok, tz: CaptionTensorizer, od_labels, feats_list):
     od_width = lt - la
     ids, segs, feats, masks = [], [], [], []
     for od, f in zip(od_labels, feats_list):
-        toks = tok.tokenize(od or "")[: od_width - 1]
-        row = tok.convert_tokens_to_ids(toks + [tok.sep_token])
+        if hasattr(tok, "encode_trunc"):
+            body = tok.encode_trunc(od or "", od_width - 1)
+        else:
+            body = tok.convert_tokens_to_ids(tok.tokenize(od or "")[: od_width - 1])
+        row = body + [tz.sep_id]
         od_len = len(row)
         row = row + [tz.pad_id] * (od_width - od_len)
         ids.append(row)

@@ -129,12 +129,18 @@ def build_tokenizer(args: DataArgs):
         return BertWordPieceTokenizer.from_pretrained(
             args.eval_model_dir, do_lower_case=args.do_lower_case
         )
-    # synthetic fallback vocab
+    # synthetic fallback vocab — materialized to a temp file so the C++
+    # WordPiece fast path engages in synthetic runs too
     base = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
     words = ["a", "photo", "of", "the", "dog", "cat", "car", "tree", "person",
              "boat", "bird", "house", "number"] + [str(i) for i in range(10)]
     vocab = {t: i for i, t in enumerate(base + words)}
-    return BertWordPieceTokenizer(vocab, do_lower_case=True)
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile("w", suffix=".vocab.txt", delete=False)
+    f.write("\n".join(base + words) + "\n")
+    f.close()
+    return BertWordPieceTokenizer(vocab, do_lower_case=True, vocab_file=f.name)
 
 
 def build_loaders(tokenizer, args: DataArgs, cfg: ExperimentConfig,

@@ -70,13 +70,25 @@ class DisentangledTensorizer:
         self.max_img_seq_len = max_img_seq_len
         self.img_feature_dim = img_feature_dim
         self.faithful_image_unk_slot = faithful_image_unk_slot
-        self.pad_id = tokenizer.convert_tokens_to_ids([tokenizer.pad_token])[0]
+        ids = tokenizer.convert_tokens_to_ids(
+            [tokenizer.pad_token, tokenizer.cls_token, tokenizer.sep_token,
+             tokenizer.unk_token])
+        self.pad_id, self.cls_id, self.sep_id, self.unk_id = ids
+
+    def _encode_trunc(self, text: str, max_tokens: int):
+        """Body WordPiece ids, truncated — via the tokenizer's C++ fast path
+        when it has one (data/tokenizer.py encode_trunc), else the generic
+        tokenize->truncate->ids route (works with any BERT tokenizer)."""
+        if hasattr(self.tok, "encode_trunc"):
+            return self.tok.encode_trunc(text, max_tokens)
+        return self.tok.convert_tokens_to_ids(
+            self.tok.tokenize(text)[:max_tokens])
 
     def text_stream(self, caption: str):
-        toks = self.tok.tokenize(caption)[: self.max_seq_len - 2]
-        tokens = [self.tok.cls_token] + toks + [self.tok.sep_token]
-        seq_len = len(tokens)
-        ids = self.tok.convert_tokens_to_ids(tokens) + [self.pad_id] * (self.max_seq_len - seq_len)
+        body = self._encode_trunc(caption, self.max_seq_len - 2)
+        seq_len = len(body) + 2
+        ids = ([self.cls_id] + body + [self.sep_id]
+               + [self.pad_id] * (self.max_seq_len - seq_len))
         seg = [0] * self.max_seq_len
         mask = [1] * seq_len + [0] * (self.max_seq_len - seq_len)
         return (
@@ -87,11 +99,13 @@ class DisentangledTensorizer:
         )
 
     def image_stream(self, od_labels: Optional[str], feats: np.ndarray):
-        toks = self.tok.tokenize(od_labels or "")[: self.max_seq_len - 2]
-        first = 0 if self.faithful_image_unk_slot else self.tok.cls_token
-        tokens = [first] + toks + [self.tok.sep_token]
-        seq_len = len(tokens)
-        ids = self.tok.convert_tokens_to_ids(tokens) + [self.pad_id] * (self.max_seq_len - seq_len)
+        body = self._encode_trunc(od_labels or "", self.max_seq_len - 2)
+        # faithful mode: the reference puts the int 0 in the CLS slot, which
+        # its id-conversion maps to [UNK] (ref:alad/dataset.py:226 quirk)
+        first = self.unk_id if self.faithful_image_unk_slot else self.cls_id
+        seq_len = len(body) + 2
+        ids = ([first] + body + [self.sep_id]
+               + [self.pad_id] * (self.max_seq_len - seq_len))
         seg = [0] + [1] * (seq_len - 1) + [0] * (self.max_seq_len - seq_len)
 
         img_len = min(feats.shape[0], self.max_img_seq_len)
@@ -124,18 +138,17 @@ class DisentangledTensorizer:
         Returns (ids, mask, segment_ids, feats, seq_a_len, img_len) with
         static shapes.
         """
-        toks_a = self.tok.tokenize(caption)[: self.max_seq_len - 2]
-        tokens = [self.tok.cls_token] + toks_a + [self.tok.sep_token]
-        seg = [0] * len(tokens)
-        seq_a_len = len(tokens)
+        body_a = self._encode_trunc(caption, self.max_seq_len - 2)
+        ids = [self.cls_id] + body_a + [self.sep_id]
+        seg = [0] * len(ids)
+        seq_a_len = len(ids)
         if od_labels:
-            toks_b = self.tok.tokenize(od_labels)
-            room = self.max_seq_len - len(tokens) - 1
-            toks_b = toks_b[:room]
-            tokens += toks_b + [self.tok.sep_token]
-            seg += [1] * (len(toks_b) + 1)
-        seq_len = len(tokens)
-        ids = self.tok.convert_tokens_to_ids(tokens) + [self.pad_id] * (self.max_seq_len - seq_len)
+            room = self.max_seq_len - len(ids) - 1
+            body_b = self._encode_trunc(od_labels, room)
+            ids += body_b + [self.sep_id]
+            seg += [1] * (len(body_b) + 1)
+        seq_len = len(ids)
+        ids = ids + [self.pad_id] * (self.max_seq_len - seq_len)
         seg += [0] * (self.max_seq_len - seq_len)
 
         img_len = min(feats.shape[0], self.max_img_seq_len)

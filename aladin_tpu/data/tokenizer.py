@@ -165,17 +165,34 @@ class BertWordPieceTokenizer:
     unk_token = "[UNK]"
     mask_token = "[MASK]"
 
-    def __init__(self, vocab: Dict[str, int], do_lower_case: bool = True):
+    def __init__(self, vocab: Dict[str, int], do_lower_case: bool = True,
+                 vocab_file: Optional[str] = None):
         self.vocab = vocab
         self.basic = BasicTokenizer(do_lower_case=do_lower_case)
         self.wordpiece = WordpieceTokenizer(vocab)
+        # C++ fast path (native/wordpiece.cpp): exact same ids for ASCII
+        # text, declines (-> this class) otherwise. Only the lowercasing
+        # configuration it implements is eligible.
+        self._native = None
+        if vocab_file is not None and do_lower_case:
+            try:
+                from aladin_tpu.io.native import NativeWordPiece
+
+                self._native = NativeWordPiece(vocab_file)
+            except Exception:
+                self._native = None
 
     @classmethod
     def from_pretrained(cls, dir_or_file: str, do_lower_case: bool = True):
         path = dir_or_file
         if os.path.isdir(path):
             path = os.path.join(path, "vocab.txt")
-        return cls(load_vocab(path), do_lower_case=do_lower_case)
+        return cls(load_vocab(path), do_lower_case=do_lower_case,
+                   vocab_file=path)
+
+    @property
+    def native_enabled(self) -> bool:
+        return self._native is not None
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
@@ -192,6 +209,18 @@ class BertWordPieceTokenizer:
 
     def encode(self, text: str) -> List[int]:
         return self.convert_tokens_to_ids(self.tokenize(text))
+
+    def encode_trunc(self, text: str, max_tokens: int) -> List[int]:
+        """First ``max_tokens`` WordPiece ids of ``text`` — equivalent to
+        ``tokenize()[:max_tokens]`` converted to ids (greedy WordPiece is
+        left-to-right, so id-level and token-level truncation coincide).
+        This is the tensorizer hot path; it takes the C++ tokenizer when
+        available and the text is ASCII."""
+        if self._native is not None:
+            ids = self._native.encode(text, max_tokens)
+            if ids is not None:
+                return ids
+        return self.convert_tokens_to_ids(self.tokenize(text)[:max_tokens])
 
     @property
     def vocab_size(self) -> int:

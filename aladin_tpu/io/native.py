@@ -25,11 +25,13 @@ def _load(build_if_missing: bool = True):
     if _lib is not None:
         return _lib
     path = os.path.abspath(_LIB_PATH)
-    src = os.path.join(os.path.dirname(path), "tsv_reader.cpp")
-    stale = (
-        os.path.exists(path)
-        and os.path.exists(src)
-        and os.path.getmtime(src) > os.path.getmtime(path)
+    srcs = [
+        os.path.join(os.path.dirname(path), f)
+        for f in ("tsv_reader.cpp", "wordpiece.cpp")
+    ]
+    stale = os.path.exists(path) and any(
+        os.path.exists(s) and os.path.getmtime(s) > os.path.getmtime(path)
+        for s in srcs
     )
     if (not os.path.exists(path) or stale) and build_if_missing:
         try:
@@ -57,6 +59,16 @@ def _load(build_if_missing: bool = True):
     lib.aladin_tsv_read_features.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.aladin_wp_create.restype = ctypes.c_void_p
+    lib.aladin_wp_create.argtypes = [ctypes.c_char_p]
+    lib.aladin_wp_destroy.argtypes = [ctypes.c_void_p]
+    lib.aladin_wp_vocab_size.restype = ctypes.c_int64
+    lib.aladin_wp_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.aladin_wp_encode.restype = ctypes.c_int64
+    lib.aladin_wp_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64,
     ]
     _lib = lib
     return lib
@@ -111,6 +123,58 @@ class NativeFeatureReader:
     def close(self):
         if self._h:
             self._lib.aladin_tsv_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeWordPiece:
+    """ctypes handle on the C++ WordPiece tokenizer (native/wordpiece.cpp).
+
+    ``encode(text, cap)`` returns the first ``cap`` WordPiece ids of the
+    exact sequence the Python tokenizer would produce, or ``None`` when the
+    text contains non-ASCII bytes (the caller falls back to Python — same
+    output either way, the C path just declines what it can't replicate).
+
+    Read-only after construction: one instance serves the loader's whole
+    thread pool (each thread brings its own output buffer).
+    """
+
+    def __init__(self, vocab_path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable (run `make -C native`)")
+        self._lib = lib
+        self._h = lib.aladin_wp_create(os.fsencode(vocab_path))
+        if not self._h:
+            raise IOError(f"failed to load vocab {vocab_path}")
+        self._tls = threading.local()
+
+    def vocab_size(self) -> int:
+        return int(self._lib.aladin_wp_vocab_size(self._h))
+
+    def encode(self, text: str, cap: int = 512) -> Optional[list]:
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        buf = getattr(self._tls, "buf", None)
+        if buf is None or buf.size < cap:
+            buf = self._tls.buf = np.empty(max(cap, 512), np.int32)
+        n = self._lib.aladin_wp_encode(
+            self._h, raw, len(raw), buf.ctypes.data_as(ctypes.c_void_p), cap
+        )
+        if n < 0:
+            return None
+        return buf[:n].tolist()
+
+    def close(self):
+        if self._h:
+            self._lib.aladin_wp_destroy(self._h)
             self._h = None
 
     def __del__(self):

@@ -144,8 +144,18 @@ class CaptionTensorizer:
         self.img_feature_dim = img_feature_dim
         self.is_train = is_train
         self.rng = np.random.RandomState(seed)
-        self.pad_id = tokenizer.convert_tokens_to_ids([tokenizer.pad_token])[0]
-        self.mask_id = tokenizer.convert_tokens_to_ids([tokenizer.mask_token])[0]
+        ids = tokenizer.convert_tokens_to_ids(
+            [tokenizer.pad_token, tokenizer.mask_token, tokenizer.cls_token,
+             tokenizer.sep_token])
+        self.pad_id, self.mask_id, self.cls_id, self.sep_id = ids
+
+    def _encode_trunc(self, text: str, max_tokens: int):
+        """tokenize -> truncate -> ids, via the tokenizer's C++ fast path
+        when present (data/tokenizer.py encode_trunc)."""
+        if hasattr(self.tok, "encode_trunc"):
+            return self.tok.encode_trunc(text, max_tokens)
+        return self.tok.convert_tokens_to_ids(
+            self.tok.tokenize(text)[:max_tokens])
 
     def attention_mask(self, seq_a_len: int, seq_len: int, img_len: int) -> np.ndarray:
         """(L_total, L_total) 2-D mask, reference block layout."""
@@ -163,46 +173,46 @@ class CaptionTensorizer:
 
     def tensorize(self, caption: Optional[str], od_labels: Optional[str], feats: np.ndarray):
         if self.is_train:
-            toks_a = self.tok.tokenize(caption)[: self.max_seq_a_len - 2]
+            body_a = self._encode_trunc(caption, self.max_seq_a_len - 2)
         else:
-            toks_a = [self.tok.mask_token] * (self.max_seq_a_len - 2)
-        tokens = [self.tok.cls_token] + toks_a + [self.tok.sep_token]
-        seg = [0] * len(tokens)
-        seq_a_len = len(tokens)
+            body_a = [self.mask_id] * (self.max_seq_a_len - 2)
+        ids_list = [self.cls_id] + body_a + [self.sep_id]
+        seg = [0] * len(ids_list)
+        seq_a_len = len(ids_list)
         if od_labels:
-            tokens += [self.tok.pad_token] * (self.max_seq_a_len - seq_a_len)
+            ids_list += [self.pad_id] * (self.max_seq_a_len - seq_a_len)
             seg += [0] * (self.max_seq_a_len - len(seg))
-            toks_b = self.tok.tokenize(od_labels)
-            toks_b = toks_b[: self.max_seq_len - len(tokens) - 1]
-            tokens += toks_b + [self.tok.sep_token]
-            seg += [1] * (len(toks_b) + 1)
-        seq_len = len(tokens)
+            room = self.max_seq_len - len(ids_list) - 1
+            body_b = self._encode_trunc(od_labels, room)
+            ids_list += body_b + [self.sep_id]
+            seg += [1] * (len(body_b) + 1)
+        seq_len = len(ids_list)
 
         masked_pos = np.zeros(self.max_seq_len, np.int32)
         masked_ids = np.zeros(self.max_masked, np.int64)
         if self.is_train:
+            # id-level masking: vocab ids are line indices, so the
+            # reference's random token draw (list(vocab)[randint]) is the
+            # same distribution as a random id (ref:run_captioning.py:262-278)
             cand = list(range(1, seq_a_len))
             self.rng.shuffle(cand)
             num = int(min(max(round(self.mask_prob * seq_a_len), 1), self.max_masked))
             idx = sorted(cand[:num])
-            originals = [tokens[i] for i in idx]
+            originals = [ids_list[i] for i in idx]
             for pos in idx:
                 r = self.rng.rand()
                 if r <= 0.8:
-                    tokens[pos] = self.tok.mask_token
+                    ids_list[pos] = self.mask_id
                 elif self.rng.rand() <= 0.5:
-                    tokens[pos] = list(self.tok.vocab.keys())[
-                        self.rng.randint(len(self.tok.vocab))
-                    ]
+                    ids_list[pos] = int(self.rng.randint(len(self.tok.vocab)))
             masked_pos[idx] = 1
-            ids = self.tok.convert_tokens_to_ids(originals)
-            masked_ids[: len(ids)] = ids
+            masked_ids[: len(originals)] = originals
         else:
             masked_pos[:] = 1
 
-        tokens += [self.tok.pad_token] * (self.max_seq_len - seq_len)
+        ids_list += [self.pad_id] * (self.max_seq_len - seq_len)
         seg += [0] * (self.max_seq_len - len(seg))
-        input_ids = np.asarray(self.tok.convert_tokens_to_ids(tokens), np.int32)
+        input_ids = np.asarray(ids_list, np.int32)
 
         img_len = min(feats.shape[0], self.max_img_seq_len)
         out_feats = np.zeros((self.max_img_seq_len, self.img_feature_dim), np.float32)

@@ -159,8 +159,16 @@ class PretrainCorpus:
             is_next_type = 2
 
         tok = self.tokenizer
-        a_ids = tok.convert_tokens_to_ids(tok.tokenize(text_a))
-        b_ids = tok.convert_tokens_to_ids(tok.tokenize(text_b)) if text_b else []
+        # pre-cap at seq_len (C++ fast path when available): the pop-from-
+        # the-longer-side loop below visits every length on the way down, so
+        # any cap >= the -3 budget leaves its fixed point unchanged
+        if hasattr(tok, "encode_trunc"):
+            a_ids = tok.encode_trunc(text_a, self.seq_len)
+            b_ids = tok.encode_trunc(text_b, self.seq_len) if text_b else []
+        else:
+            a_ids = tok.convert_tokens_to_ids(tok.tokenize(text_a))
+            b_ids = (tok.convert_tokens_to_ids(tok.tokenize(text_b))
+                     if text_b else [])
         if b_ids:
             # _truncate_seq_pair: trim the longer side until it fits -3
             while len(a_ids) + len(b_ids) > self.seq_len - 3:

@@ -57,6 +57,63 @@ def test_tokenizer_matches_hf(vocab_file):
         assert ours.encode(text) == hf.convert_tokens_to_ids(hf.tokenize(text)), text
 
 
+def test_native_tokenizer_parity(vocab_file):
+    """The C++ WordPiece fast path (native/wordpiece.cpp) must produce the
+    exact id sequence of the Python tokenizer for ASCII text — including
+    truncation, controls, punctuation, never-split markers — and decline
+    (fall back inside encode_trunc) on non-ASCII."""
+    import random
+    import string
+
+    tok = BertWordPieceTokenizer(load_vocab(vocab_file), vocab_file=vocab_file)
+    assert tok.native_enabled, "native wordpiece failed to build/load"
+
+    cases = [
+        "a photo of a dog",
+        "The DOG played snowball!",
+        "unaffable, runningly?? plays 123",
+        "  weird   spacing\tand\ncontrol\x00chars",
+        "café résumé naïve",  # non-ASCII -> python fallback path
+        "[MASK] a [SEP] dog [UNK] [mask]",
+        "greenhouse", "", "   ", "!!!", "a" * 150, "a-b.c's 1,2,3",
+    ]
+    for text in cases:
+        full = tok.convert_tokens_to_ids(tok.tokenize(text))
+        for cap in (64, 5, 1, 0):
+            assert tok.encode_trunc(text, cap) == full[:cap], (text, cap)
+
+    rnd = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
+    for _ in range(500):
+        text = "".join(rnd.choice(alphabet)
+                       for _ in range(rnd.randint(0, 60)))
+        full = tok.convert_tokens_to_ids(tok.tokenize(text))
+        assert tok.encode_trunc(text, 64) == full[:64], text
+
+
+def test_tensorizer_identical_with_and_without_native(vocab_file):
+    """The tensorizer's id-level assembly must be invariant to whether the
+    tokenizer carries the C++ fast path (same Example arrays either way)."""
+    py_tok = BertWordPieceTokenizer(load_vocab(vocab_file))
+    nat_tok = BertWordPieceTokenizer(load_vocab(vocab_file),
+                                     vocab_file=vocab_file)
+    assert not py_tok.native_enabled and nat_tok.native_enabled
+    feats = np.random.RandomState(0).rand(7, 2054).astype(np.float32)
+    caption = "The DOG played snowball, unbelievably!"
+    labels = "dog snow ball tree person café"  # non-ASCII word -> fallback
+    for faithful in (True, False):
+        a = DisentangledTensorizer(py_tok, 16, 5,
+                                   faithful_image_unk_slot=faithful)
+        b = DisentangledTensorizer(nat_tok, 16, 5,
+                                   faithful_image_unk_slot=faithful)
+        ea, eb = (t.tensorize(caption, labels, feats) for t in (a, b))
+        for f in ea.__dataclass_fields__:
+            np.testing.assert_array_equal(getattr(ea, f), getattr(eb, f), f)
+        ja, jb = (t.tensorize_joint(caption, labels, feats) for t in (a, b))
+        for xa, xb in zip(ja, jb):
+            np.testing.assert_array_equal(xa, xb)
+
+
 def test_tokenizer_int_zero_maps_to_unk(vocab_file):
     """The reference image stream leads with the INTEGER 0 (a bug) which
     pytorch_transformers maps to [UNK]; our converter must do the same."""
