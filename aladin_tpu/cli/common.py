@@ -57,6 +57,10 @@ def add_shared_flags(p: argparse.ArgumentParser) -> None:
                         "dataset.data root); off by default like the "
                         "reference (SURVEY.md S2.6(11))")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--int8_encoder", action="store_true",
+                   help="run the encoder's projection matmuls as W8A8 "
+                        "dynamic int8 (double-rate MXU mode; eval/serving "
+                        "only — cli/test, not training)")
     p.add_argument("--synthetic", action="store_true",
                    help="build a tiny on-disk synthetic dataset + random backbone (no COCO/ckpt needed)")
 
@@ -90,11 +94,16 @@ def build_model_and_params(
     OSCAR checkpoint dir when given (ref:alad/alad_model.py:38-43)."""
     rng = rng if rng is not None else jax.random.PRNGKey(args.seed)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    quant = bool(getattr(args, "int8_encoder", False))
 
     if args.eval_model_dir and os.path.isdir(args.eval_model_dir):
         from aladin_tpu.io.convert import load_oscar_checkpoint
 
         tree, bert_cfg = load_oscar_checkpoint(args.eval_model_dir)
+        if quant:
+            import dataclasses as _dc
+
+            bert_cfg = _dc.replace(bert_cfg, quant_matmuls=True)
         if cfg.model.embed_size != bert_cfg.hidden_size:
             # the reference's projection layers are dead code, so embed-size
             # MUST track the backbone; follow the checkpoint and warn
@@ -111,13 +120,15 @@ def build_model_and_params(
         params = model.init(rng, example_batch, True)["params"]
         params["oscar"] = jax.tree.map(jnp.asarray, tree["oscar"])
     else:
-        bert_cfg = BertImgConfig(img_feature_dim=args.img_feature_dim)
+        bert_cfg = BertImgConfig(img_feature_dim=args.img_feature_dim,
+                                 quant_matmuls=quant)
         if args.synthetic:  # tiny backbone for smoke runs
             bert_cfg = BertImgConfig(
                 vocab_size=512, hidden_size=cfg.model.embed_size,
                 num_hidden_layers=2, num_attention_heads=4,
                 intermediate_size=2 * cfg.model.embed_size,
                 max_position_embeddings=128, img_feature_dim=args.img_feature_dim,
+                quant_matmuls=quant,
             )
         model = ALADIN(cfg, bert_cfg, dtype=dtype)
         params = model.init(rng, example_batch, True)["params"]

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     args = to_data_args(ns)
     logger = setup_logger("vlpretrain", args.logger_name)
 
+    if getattr(args, "int8_encoder", False):
+        # quantization rounds are gradient-dead; the flag is eval/serving only
+        parser.error("--int8_encoder is an evaluation/serving flag "
+                     "(cli/test); training runs bf16")
     assert ns.config, "--config is required (see aladin_tpu/configs/)"
     cfg = load_config(ns.config)
     # batch sizes come from the experiment config (ref:alad/train.py:180-181)

@@ -276,3 +276,4 @@ class DataArgs:
     compute_dtype: str = "bfloat16"
     synthetic: bool = False  # tiny on-disk dataset + random small backbone
     ndcg: bool = False  # NDCG@25 from precomputed relevance matrices
+    int8_encoder: bool = False  # W8A8 encoder matmuls (eval/serving only)

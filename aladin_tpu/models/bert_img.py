@@ -64,6 +64,10 @@ class BertImgConfig:
     # TPU-native: rematerialize encoder layers in the backward pass (trade
     # FLOPs for HBM - enables much larger batches on one chip)
     remat: bool = False
+    # TPU-native: run the encoder's projection matmuls (QKV, attention out,
+    # MLP) as W8A8 dynamic int8 on the double-rate MXU mode — eval/serving
+    # only (models/quant.py; same param pytree, checkpoints load unchanged)
+    quant_matmuls: bool = False
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertImgConfig":
@@ -78,6 +82,16 @@ def _dense_init(cfg: BertImgConfig):
     return nn.initializers.normal(stddev=cfg.initializer_range)
 
 
+def _proj_cls(cfg: BertImgConfig):
+    """Dense class for the FLOP-carrying encoder projections: nn.Dense, or
+    its int8 W8A8 drop-in when cfg.quant_matmuls (eval/serving)."""
+    if cfg.quant_matmuls:
+        from aladin_tpu.models.quant import QuantDense
+
+        return QuantDense
+    return nn.Dense
+
+
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention with additive bias; optionally returns probs."""
 
@@ -88,7 +102,7 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
-        dense = lambda name: nn.Dense(  # noqa: E731
+        dense = lambda name: _proj_cls(cfg)(  # noqa: E731
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name=name
         )
         q = dense("query")(x).reshape(*x.shape[:-1], h, d)
@@ -119,18 +133,18 @@ class BertLayer(nn.Module):
         ctx, probs = BertSelfAttention(cfg, self.dtype, name="attention")(
             x, bias, deterministic
         )
-        attn_out = nn.Dense(
+        attn_out = _proj_cls(cfg)(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="attention_output"
         )(ctx)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm")(
             x + attn_out
         )
-        inter = nn.Dense(
+        inter = _proj_cls(cfg)(
             cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="intermediate"
         )(x)
         inter = jax.nn.gelu(inter, approximate=False)  # exact erf gelu, BERT-era
-        out = nn.Dense(
+        out = _proj_cls(cfg)(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="output"
         )(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)

@@ -1,0 +1,72 @@
+"""W8A8 dynamic-quantized dense layer for the eval/serving encode path.
+
+The encode stage dominates end-to-end retrieval evaluation (~4.4 s of the
+5.4 s full 5k-test pass) and is matmul-bound, so it is the one place where
+the TPU's double-rate int8 MXU mode pays beyond the Pallas scoring kernel.
+``QuantDense`` is a drop-in for ``nn.Dense`` with an IDENTICAL parameter
+pytree (f32 ``kernel``/``bias``, same names/shapes) — checkpoints trained
+in bf16/f32 load unchanged; quantization happens on the fly inside the
+compiled program:
+
+  * weights: symmetric per-output-channel absmax int8;
+  * activations: symmetric per-token (per row of the (..., D) input)
+    dynamic absmax int8;
+  * product accumulates in int32 on the MXU
+    (``preferred_element_type=int32``), dequantized by the rank-1 outer
+    product of the two scale vectors, bias added in f32.
+
+This is the standard robust W8A8 recipe for transformer inference; the
+reference has no quantized path at all (its serving story is the fp32
+matching head, ref:alad/plots/plot_efficiency_vs_effectiveness.py).
+Accuracy is locked by tests/test_quant.py: encoder-output cosine vs the
+f32 pass and end-to-end R@K parity on a trained synthetic model.
+
+Opt-in via ``BertImgConfig(quant_matmuls=True)`` / ``cli/test
+--int8_encoder``; training always uses the bf16 path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def quantize_rowwise(x: Array, axis: int) -> tuple[Array, Array]:
+    """Symmetric absmax int8 quantization along ``axis``.
+
+    Returns (q, scale) with ``q * scale ~= x``; scale keeps a tiny floor so
+    all-zero rows (padding tokens) stay exactly zero instead of NaN.
+    """
+    absmax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8).astype(jnp.float32) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+class QuantDense(nn.Module):
+    """nn.Dense-compatible W8A8 dynamic-quantized projection."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d_in = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (d_in, self.features),
+                            jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        wq, wscale = quantize_rowwise(kernel, axis=0)      # (in, out), (1, out)
+        xq, xscale = quantize_rowwise(x, axis=-1)          # (..., in), (..., 1)
+        y = jax.lax.dot_general(
+            xq, wq,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * xscale * wscale + bias
+        return y.astype(self.dtype)
