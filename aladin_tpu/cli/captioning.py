@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from aladin_tpu.cli.pretrain import make_optimizer
+from aladin_tpu.data.tokenizer import encode_trunc_any
 from aladin_tpu.eval.caption_metrics import evaluate_captions
 from aladin_tpu.models.bert_img import BertImgConfig
 from aladin_tpu.tasks.captioning import (
@@ -64,10 +65,7 @@ def decode_inputs(tok, tz: CaptionTensorizer, od_labels, feats_list):
     od_width = lt - la
     ids, segs, feats, masks = [], [], [], []
     for od, f in zip(od_labels, feats_list):
-        if hasattr(tok, "encode_trunc"):
-            body = tok.encode_trunc(od or "", od_width - 1)
-        else:
-            body = tok.convert_tokens_to_ids(tok.tokenize(od or "")[: od_width - 1])
+        body = encode_trunc_any(tok, od or "", od_width - 1)
         row = body + [tz.sep_id]
         od_len = len(row)
         row = row + [tz.pad_id] * (od_width - od_len)

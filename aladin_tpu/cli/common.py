@@ -151,7 +151,9 @@ def build_tokenizer(args: DataArgs):
     f = tempfile.NamedTemporaryFile("w", suffix=".vocab.txt", delete=False)
     f.write("\n".join(base + words) + "\n")
     f.close()
-    return BertWordPieceTokenizer(vocab, do_lower_case=True, vocab_file=f.name)
+    tok = BertWordPieceTokenizer(vocab, do_lower_case=True, vocab_file=f.name)
+    os.unlink(f.name)  # the C++ side reads the whole file at create
+    return tok
 
 
 def build_loaders(tokenizer, args: DataArgs, cfg: ExperimentConfig,

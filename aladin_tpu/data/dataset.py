@@ -76,13 +76,11 @@ class DisentangledTensorizer:
         self.pad_id, self.cls_id, self.sep_id, self.unk_id = ids
 
     def _encode_trunc(self, text: str, max_tokens: int):
-        """Body WordPiece ids, truncated — via the tokenizer's C++ fast path
-        when it has one (data/tokenizer.py encode_trunc), else the generic
-        tokenize->truncate->ids route (works with any BERT tokenizer)."""
-        if hasattr(self.tok, "encode_trunc"):
-            return self.tok.encode_trunc(text, max_tokens)
-        return self.tok.convert_tokens_to_ids(
-            self.tok.tokenize(text)[:max_tokens])
+        """Body WordPiece ids, truncated (data/tokenizer.py
+        encode_trunc_any: C++ fast path or generic fallback)."""
+        from aladin_tpu.data.tokenizer import encode_trunc_any
+
+        return encode_trunc_any(self.tok, text, max_tokens)
 
     def text_stream(self, caption: str):
         body = self._encode_trunc(caption, self.max_seq_len - 2)
@@ -142,8 +140,10 @@ class DisentangledTensorizer:
         ids = [self.cls_id] + body_a + [self.sep_id]
         seg = [0] * len(ids)
         seq_a_len = len(ids)
-        if od_labels:
-            room = self.max_seq_len - len(ids) - 1
+        room = self.max_seq_len - len(ids) - 1
+        if od_labels and room > 0:
+            # room<=0 (caption fills the window) drops the b-segment whole —
+            # appending even the bare [SEP] would overflow the static width
             body_b = self._encode_trunc(od_labels, room)
             ids += body_b + [self.sep_id]
             seg += [1] * (len(body_b) + 1)

@@ -152,6 +152,21 @@ class WordpieceTokenizer:
         return pieces
 
 
+def encode_trunc_any(tok, text: str, max_tokens: int) -> List[int]:
+    """First ``max(0, max_tokens)`` WordPiece ids of ``text`` through ANY
+    BERT-style tokenizer — the single shared tensorizer hot-path entry
+    (DisentangledTensorizer, CaptionTensorizer, decode_inputs). Dispatches
+    to the tokenizer's fast ``encode_trunc`` when it has one; otherwise
+    tokenize -> truncate -> ids. The clamp matters: joint tensorizers can
+    compute a negative remaining-room budget, which must mean 'no tokens',
+    not Python's take-all-but-the-tail slice."""
+    if max_tokens <= 0:
+        return []
+    if hasattr(tok, "encode_trunc"):
+        return tok.encode_trunc(text, max_tokens)
+    return tok.convert_tokens_to_ids(tok.tokenize(text)[:max_tokens])
+
+
 class BertWordPieceTokenizer:
     """Drop-in equivalent of BertTokenizer for the data path.
 
@@ -216,6 +231,8 @@ class BertWordPieceTokenizer:
         left-to-right, so id-level and token-level truncation coincide).
         This is the tensorizer hot path; it takes the C++ tokenizer when
         available and the text is ASCII."""
+        if max_tokens <= 0:  # callers may compute a non-positive budget
+            return []
         if self._native is not None:
             ids = self._native.encode(text, max_tokens)
             if ids is not None:

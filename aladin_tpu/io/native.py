@@ -60,16 +60,23 @@ def _load(build_if_missing: bool = True):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.aladin_wp_create.restype = ctypes.c_void_p
-    lib.aladin_wp_create.argtypes = [ctypes.c_char_p]
-    lib.aladin_wp_destroy.argtypes = [ctypes.c_void_p]
-    lib.aladin_wp_vocab_size.restype = ctypes.c_int64
-    lib.aladin_wp_vocab_size.argtypes = [ctypes.c_void_p]
-    lib.aladin_wp_encode.restype = ctypes.c_int64
-    lib.aladin_wp_encode.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
-        ctypes.c_int64,
-    ]
+    try:
+        # a stale .so built before wordpiece.cpp (plus a failed rebuild)
+        # lacks these symbols; degrade to the tsv-only surface rather than
+        # poisoning every native-IO call with AttributeError
+        lib.aladin_wp_create.restype = ctypes.c_void_p
+        lib.aladin_wp_create.argtypes = [ctypes.c_char_p]
+        lib.aladin_wp_destroy.argtypes = [ctypes.c_void_p]
+        lib.aladin_wp_vocab_size.restype = ctypes.c_int64
+        lib.aladin_wp_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.aladin_wp_encode.restype = ctypes.c_int64
+        lib.aladin_wp_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.aladin_has_wordpiece = True
+    except AttributeError:
+        lib.aladin_has_wordpiece = False
     _lib = lib
     return lib
 
@@ -146,7 +153,7 @@ class NativeWordPiece:
 
     def __init__(self, vocab_path: str):
         lib = _load()
-        if lib is None:
+        if lib is None or not getattr(lib, "aladin_has_wordpiece", False):
             raise RuntimeError("native IO library unavailable (run `make -C native`)")
         self._lib = lib
         self._h = lib.aladin_wp_create(os.fsencode(vocab_path))

@@ -150,12 +150,11 @@ class CaptionTensorizer:
         self.pad_id, self.mask_id, self.cls_id, self.sep_id = ids
 
     def _encode_trunc(self, text: str, max_tokens: int):
-        """tokenize -> truncate -> ids, via the tokenizer's C++ fast path
-        when present (data/tokenizer.py encode_trunc)."""
-        if hasattr(self.tok, "encode_trunc"):
-            return self.tok.encode_trunc(text, max_tokens)
-        return self.tok.convert_tokens_to_ids(
-            self.tok.tokenize(text)[:max_tokens])
+        """tokenize -> truncate -> ids (data/tokenizer.py
+        encode_trunc_any: C++ fast path or generic fallback)."""
+        from aladin_tpu.data.tokenizer import encode_trunc_any
+
+        return encode_trunc_any(self.tok, text, max_tokens)
 
     def attention_mask(self, seq_a_len: int, seq_len: int, img_len: int) -> np.ndarray:
         """(L_total, L_total) 2-D mask, reference block layout."""
@@ -183,9 +182,10 @@ class CaptionTensorizer:
             ids_list += [self.pad_id] * (self.max_seq_a_len - seq_a_len)
             seg += [0] * (self.max_seq_a_len - len(seg))
             room = self.max_seq_len - len(ids_list) - 1
-            body_b = self._encode_trunc(od_labels, room)
-            ids_list += body_b + [self.sep_id]
-            seg += [1] * (len(body_b) + 1)
+            if room > 0:  # room<=0: even a bare [SEP] would overflow
+                body_b = self._encode_trunc(od_labels, room)
+                ids_list += body_b + [self.sep_id]
+                seg += [1] * (len(body_b) + 1)
         seq_len = len(ids_list)
 
         masked_pos = np.zeros(self.max_seq_len, np.int32)

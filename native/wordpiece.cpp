@@ -88,18 +88,32 @@ extern "C" {
 void* aladin_wp_create(const char* vocab_path) {
   FILE* f = fopen(vocab_path, "rb");
   if (!f) return nullptr;
-  WpVocab* wv = new WpVocab();
-  std::string line;
-  char buf[4096];
-  int32_t idx = 0;
-  // matches tokenizer.py:load_vocab — line index = id, strip trailing \n
-  while (fgets(buf, sizeof(buf), f)) {
-    line = buf;
-    while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
-      line.pop_back();
-    wv->vocab.emplace(line, idx++);
-  }
+  std::string data;
+  char buf[1 << 16];
+  size_t got;
+  while ((got = fread(buf, 1, sizeof(buf), f)) > 0) data.append(buf, got);
   fclose(f);
+  WpVocab* wv = new WpVocab();
+  // matches tokenizer.py:load_vocab exactly: the Python side reads in TEXT
+  // mode, so universal newlines apply — '\n', '\r\n', and lone '\r' all
+  // terminate a line; line index = id; duplicate lines -> LAST id wins
+  // (dict assignment semantics)
+  int32_t idx = 0;
+  size_t start = 0;
+  auto emit = [&](size_t end) {
+    wv->vocab[data.substr(start, end - start)] = idx++;
+  };
+  for (size_t i = 0; i < data.size(); ++i) {
+    if (data[i] == '\n') {
+      emit(i);
+      start = i + 1;
+    } else if (data[i] == '\r') {
+      emit(i);
+      if (i + 1 < data.size() && data[i + 1] == '\n') ++i;
+      start = i + 1;
+    }
+  }
+  if (start < data.size()) emit(data.size());  // unterminated final line
   auto it = wv->vocab.find("[UNK]");
   if (it == wv->vocab.end()) {  // python path would KeyError; decline instead
     delete wv;
@@ -122,6 +136,7 @@ int64_t aladin_wp_vocab_size(void* h) {
 int64_t aladin_wp_encode(void* h, const char* text, int64_t n, int32_t* out,
                          int64_t cap) {
   if (!h) return -1;
+  if (cap <= 0) return 0;  // callers may compute a non-positive budget
   const WpVocab& wv = *(const WpVocab*)h;
   std::vector<int32_t> ids;
   ids.reserve(64);

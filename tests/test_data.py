@@ -114,6 +114,43 @@ def test_tensorizer_identical_with_and_without_native(vocab_file):
             np.testing.assert_array_equal(xa, xb)
 
 
+def test_joint_tensorizer_full_window_caption(vocab_file):
+    """A caption that fills max_seq_len-2 wordpieces with non-empty
+    od_labels must NOT overflow the static width (room<=0 drops the
+    b-segment whole — not even its [SEP] fits); native and Python paths
+    must agree. Regression: negative room reached the C encoder as a
+    negative cap (crash) and Python's [:-1] slice (silent over-length)."""
+    for tok in (BertWordPieceTokenizer(load_vocab(vocab_file)),
+                BertWordPieceTokenizer(load_vocab(vocab_file),
+                                       vocab_file=vocab_file)):
+        tz = DisentangledTensorizer(tok, 8, 3)
+        feats = np.zeros((2, 2054), np.float32)
+        long_cap = "a photo of a dog cat tree person boat"  # > 6 pieces
+        ids, mask, seg, feats_o, seq_a_len, img_len = tz.tensorize_joint(
+            long_cap, "dog cat", feats)
+        assert ids.shape == (8,) and seg.shape == (8,)
+        assert seq_a_len == 8  # [CLS] + 6 + [SEP]
+        # b-segment dropped entirely: no segment-1 positions
+        np.testing.assert_array_equal(seg, 0)
+
+
+def test_native_vocab_duplicate_and_crlf_parity(tmp_path):
+    """load_vocab semantics the C side must copy exactly: duplicate lines
+    -> LAST id wins; Python reads in TEXT mode, so universal newlines
+    apply (\\n, \\r\\n, and lone \\r all terminate a line)."""
+    p = tmp_path / "dup.txt"
+    # 'a' twice; 'c' CRLF-terminated; lone \r splits 'd' and 'e'
+    p.write_bytes(b"[UNK]\na\nb\na\nc\r\nd\re")
+    vocab = load_vocab(str(p))
+    assert vocab["a"] == 3 and vocab["c"] == 4
+    assert vocab["d"] == 5 and vocab["e"] == 6
+    tok = BertWordPieceTokenizer(vocab, vocab_file=str(p))
+    assert tok.native_enabled
+    for text in ("a b", "a c b"):
+        py = tok.convert_tokens_to_ids(tok.tokenize(text))
+        assert tok.encode_trunc(text, 16) == py, text
+
+
 def test_tokenizer_int_zero_maps_to_unk(vocab_file):
     """The reference image stream leads with the INTEGER 0 (a bug) which
     pytorch_transformers maps to [UNK]; our converter must do the same."""
