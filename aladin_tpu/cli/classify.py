@@ -54,9 +54,15 @@ from aladin_tpu.tasks.task_inputs import (
 from aladin_tpu.utils.logging import setup_logger
 
 
-def _batches(n, bs, rng=None):
+def _batches(n, bs, rng=None, drop_last=True):
+    """Index batches; empty splits / bs<=0 yield nothing. With
+    drop_last=False the final batch may be short — eval/test must cover
+    every example (ref:run_vqa.py:787-839 predicts all of them)."""
+    if n <= 0 or bs <= 0:
+        return
     order = np.arange(n) if rng is None else rng.permutation(n)
-    for s in range(0, n - bs + 1, bs):
+    end = n - bs + 1 if drop_last else n
+    for s in range(0, end, bs):
         yield order[s : s + bs]
 
 
@@ -194,19 +200,36 @@ def main(argv=None) -> int:
     def predict(params, ids, mask, seg, feats):
         return apply_logits(params, ids, mask, seg, feats, False, None)
 
-    def evaluate(examples):
+    eval_cache = {}
+
+    def eval_batches(examples, cache_key):
+        """Tensorized (true_count, batch) pairs covering EVERY example,
+        tail padded to the compiled batch shape. Conversion is
+        deterministic, so batches are cached across epochs (tokenize +
+        feature decode would otherwise redo per epoch)."""
+        if cache_key in eval_cache:
+            return eval_cache[cache_key]
+        bs = min(ns.train_batch_size, max(len(examples), 1))
+        batches = []
+        for idx in _batches(len(examples), bs, drop_last=False):
+            k = len(idx)
+            if k < bs:
+                idx = np.concatenate([idx, np.zeros(bs - k, idx.dtype)])
+            batches.append((k, idx, convert([examples[i] for i in idx])))
+        eval_cache[cache_key] = batches
+        return batches
+
+    def evaluate(examples, cache_key="val"):
         """Task accuracy over a split (ref:run_vqa.py:682-764 evaluate)."""
         total, n = 0.0, 0
-        bs = ns.train_batch_size
-        for idx in _batches(len(examples), min(bs, len(examples))):
-            batch = convert([examples[i] for i in idx])
-            logits = np.asarray(predict(params, *batch[:4]))
+        for k, _, batch in eval_batches(examples, cache_key):
+            logits = np.asarray(predict(params, *batch[:4]))[:k]
             pred = logits.argmax(-1)
             if ns.task == "vqa":  # soft-target score of the argmax answer
-                total += float(np.take_along_axis(batch[4], pred[:, None], 1).sum())
+                total += float(np.take_along_axis(batch[4][:k], pred[:, None], 1).sum())
             else:
-                total += float((pred == batch[4]).sum())
-            n += len(idx)
+                total += float((pred == batch[4][:k]).sum())
+            n += k
         return total / max(n, 1)
 
     for epoch in range(ns.epochs):
@@ -228,11 +251,9 @@ def main(argv=None) -> int:
     if ns.do_test:
         test = load_split("test")
         results = []
-        bs = min(ns.train_batch_size, len(test))
-        for idx in _batches(len(test), bs):
-            batch = convert([test[i] for i in idx])
-            pred = np.asarray(predict(params, *batch[:4])).argmax(-1)
-            for j, ex in zip(pred, [test[i] for i in idx]):
+        for k, idx, batch in eval_batches(test, "test"):
+            pred = np.asarray(predict(params, *batch[:4])).argmax(-1)[:k]
+            for j, ex in zip(pred, [test[i] for i in idx[:k]]):
                 qid = getattr(ex, "qid", getattr(ex, "uid", ""))
                 ans = label2ans.get(int(j), int(j)) if ns.task != "nlvr" else int(j)
                 results.append({"question_id": qid, "answer": ans})

@@ -56,7 +56,8 @@ def make_optimizer(lr: float, warmup_steps: int, t_total: int,
         def mask(path, _):
             keys = [str(getattr(k, "key", k)) for k in path]
             leaf = keys[-1] if keys else ""
-            in_ln = any("layer_norm" in k or "LayerNorm" in k for k in keys)
+            # module names are e.g. embeddings_layernorm / attention_layernorm
+            in_ln = any("layernorm" in k.lower().replace("_", "") for k in keys)
             return not (leaf == "bias" or in_ln)
 
         return jax.tree_util.tree_map_with_path(mask, params)
@@ -95,6 +96,10 @@ def main(argv=None) -> int:
     p.add_argument("--mesh_shape", default="dp=-1")
     p.add_argument("--synthetic", action="store_true")
     ns = p.parse_args(argv)
+    # multi-host bring-up BEFORE first jax use (env-detected; no-op on one
+    # host) — the reference's init_process_group slot
+    # (ref:run_oscarplus_pretrain.py:168-178)
+    distributed.initialize()
     logger = setup_logger("vlpretrain", ns.output_dir)
 
     if ns.synthetic:
@@ -188,7 +193,11 @@ def main(argv=None) -> int:
                 tb.iteration = it + 1
                 tb.update(lr=float(sched(it)), batch_time=dt, **agg)
             pending, t0 = [], time.time()
-        if (it + 1) % ns.ckpt_period == 0 or it + 1 == ns.max_iters:
+        if ((it + 1) % ns.ckpt_period == 0 or it + 1 == ns.max_iters) \
+                and distributed.is_main_process():
+            # main-process only: on a shared output_dir, concurrent
+            # rmtree+save from N hosts would corrupt the checkpoint
+            # (reference saves on rank 0, ref:run_oscarplus_pretrain.py)
             import orbax.checkpoint as ocp
 
             path = os.path.abspath(os.path.join(ns.output_dir, f"ckpt_{it + 1:07d}"))

@@ -29,9 +29,35 @@ import numpy as np
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up. Safe no-op for single-process runs."""
+    """Multi-host bring-up. Safe no-op for single-process runs.
+
+    With explicit topology args, initializes directly. With no args it
+    auto-initializes (jax.distributed.initialize's env detection) — but
+    only when the environment actually announces a cluster (coordinator
+    env vars / cloud TPU metadata); a plain single-host run stays a no-op
+    instead of failing on missing coordinator discovery.
+    """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        return
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return
+    import os
+
+    # only explicit coordinator announcements count: topology vars like
+    # TPU_WORKER_HOSTNAMES are present even on single-host boxes
+    cluster_hints = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                     "MEGASCALE_COORDINATOR_ADDRESS")
+    if any(os.environ.get(k) for k in cluster_hints):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            # backend already up (e.g. a driver touched jax first) or
+            # already initialized — keep going single-process
+            pass
 
 
 def get_rank() -> int:

@@ -91,6 +91,8 @@ class PretrainCorpus:
                     # rows: image_id \t json({"objects": [{"class": ...}]}) or plain tag text
                     try:
                         objs = json.loads(row[1])
+                        if not isinstance(objs, dict):  # JSON scalar/array
+                            raise TypeError(type(objs).__name__)
                         tags[str(row[0])] = " ".join(
                             o["class"] for o in objs.get("objects", [])
                         )
@@ -143,8 +145,10 @@ class PretrainCorpus:
         if dice > 0.5:
             label = 0
         elif dice > self.texta_false_prob and text_b != "":
+            # text_b is only nonempty when use_b, so the swap is always a
+            # tag-text swap (ref:oscar_tsv.py:262-270)
             other = self.rows[rng.randint(len(self.rows))]
-            text_b = self._text_b(other[0]) if self.use_b else other[2]
+            text_b = self._text_b(other[0])
             label = 1
             is_img_match = int(other[0] != img_id)
         else:
@@ -153,7 +157,11 @@ class PretrainCorpus:
             label = self.num_contrast_classes - 1
             is_img_match = int(other[0] != img_id)
 
-        # is_next_type remap (ref:oscar_tsv.py:671-674)
+        # is_next_type (ref:oscar_tsv.py:685-687) gates ONLY the
+        # b-segment mask-loss decision below; the seq-relation label fed to
+        # the loss is `label` itself (the reference's example.is_next,
+        # ref:oscar_tsv.py:782,251 — the remapped value never reaches the
+        # head, which has exactly num_contrast_classes logits)
         is_next_type = label * is_img_match if label else 0
         if self.num_contrast_classes == 2 and self.texta_false_prob == 0.5 and is_next_type == 1:
             is_next_type = 2
@@ -215,7 +223,7 @@ class PretrainCorpus:
             "token_type_ids": np.asarray(seg, np.int32),
             "img_feats": feats,
             "lm_labels": np.asarray(lm, np.int32),
-            "is_next": np.int32(is_next_type),
+            "is_next": np.int32(label),
         }
 
     def collate(self, indices: Sequence[int], epoch: int = 0) -> Dict[str, np.ndarray]:

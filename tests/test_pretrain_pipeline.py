@@ -85,6 +85,14 @@ def test_contrast_label_semantics(corpus_root, tokenizer):
                      num_contrast_classes=3)
     labels3 = {int(c3.example(i, e)["is_next"]) for i in range(len(c3)) for e in range(6)}
     assert labels3 <= {0, 2} and 2 in labels3
+    # texta_false_prob=0.5 with a 2-logit head: labels must stay in {0, 1}.
+    # Regression: the is_next_type remap (a mask-gating value, never the
+    # loss label in the reference) was fed to the head, whose CE over 2
+    # logits returns NaN for label 2.
+    c2 = make_corpus(corpus_root, tokenizer, texta_false_prob=0.5,
+                     num_contrast_classes=2)
+    labels2 = {int(c2.example(i, e)["is_next"]) for i in range(len(c2)) for e in range(8)}
+    assert labels2 == {0, 1}, labels2
 
 
 def test_pretrain_step_learns(corpus_root, tokenizer):
@@ -125,9 +133,13 @@ def test_no_decay_mask_targets_bias_and_layernorm():
     from aladin_tpu.cli.pretrain import make_optimizer
 
     tx, _ = make_optimizer(1e-3, 0, 100)
+    # the REAL flax module names (models/bert_img.py): *_layernorm —
+    # regression: the mask once matched only 'layer_norm'/'LayerNorm'
     params = {
         "dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
         "layer_norm": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+        "attention_layernorm": {"scale": jnp.ones((2,))},
+        "embeddings_layernorm": {"scale": jnp.ones((2,))},
     }
     # one update with zero grads: decayed leaves shrink, no-decay stay put
     state = tx.init(params)
@@ -137,6 +149,8 @@ def test_no_decay_mask_targets_bias_and_layernorm():
     assert float(new["dense"]["kernel"][0, 0]) < 1.0
     assert float(new["dense"]["bias"][0]) == 1.0
     assert float(new["layer_norm"]["scale"][0]) == 1.0
+    assert float(new["attention_layernorm"]["scale"][0]) == 1.0
+    assert float(new["embeddings_layernorm"]["scale"][0]) == 1.0
 
 
 @pytest.mark.slow
