@@ -120,6 +120,9 @@ def main(argv=None) -> int:
     p.add_argument("--drop_worst_ratio", type=float, default=0.0)
     p.add_argument("--drop_worst_after", type=int, default=0)
     p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--eval_batch_size", type=int, default=64,
+                   help="decode batch at eval; inputs are built and decoded "
+                        "per batch so the image set never materializes whole")
     p.add_argument("--learning_rate", type=float, default=3e-5)
     p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--epochs", type=int, default=3)
@@ -236,10 +239,14 @@ def main(argv=None) -> int:
         vals = jax.device_get(losses)
         logger.info(f"epoch {epoch} loss {np.mean(vals):.4f} ({time.time() - t0:.1f}s)")
 
-    # decode every image once, score against its reference captions
-    od_ids, od_seg, feats, masks = decode_inputs(
-        tok, tz, [provider.get_od_labels(k) for k in keys],
-        [provider.get_image(k) for k in keys])
+    # decode-time inputs are built PER BATCH of keys — materializing the
+    # whole image set at once ((N, 50, 2054) float32) cannot scale past toy
+    # data (real COCO test is 5k-113k images)
+    def build_inputs(sel_keys):
+        return decode_inputs(tok, tz,
+                             [provider.get_od_labels(k) for k in sel_keys],
+                             [provider.get_image(k) for k in sel_keys])
+
     common = dict(max_steps=ns.max_seq_a_length - 1,
                   cls_id=tok.vocab[tok.cls_token], sep_id=tok.vocab[tok.sep_token],
                   mask_id=tok.vocab[tok.mask_token], pad_id=tz.pad_id)
@@ -249,7 +256,11 @@ def main(argv=None) -> int:
         from aladin_tpu.tasks.scst import ScstRewardCriterion
 
         scst = ScstRewardCriterion()
-        tx2, _ = make_optimizer(ns.scst_lr, 0, ns.scst_epochs * len(keys))
+        sb = min(ns.train_batch_size, len(keys))
+        # horizon in OPTIMIZER STEPS (batches), not examples — otherwise the
+        # linear decay barely moves over the whole fine-tune
+        tx2, _ = make_optimizer(ns.scst_lr, 0,
+                                ns.scst_epochs * max(len(keys) // sb, 1))
         opt2 = tx2.init(params)
 
         @jax.jit
@@ -267,10 +278,9 @@ def main(argv=None) -> int:
         for epoch in range(ns.scst_epochs):
             t0, losses, rews = time.time(), [], []
             order = rng.permutation(len(keys))
-            sb = min(ns.train_batch_size, len(keys))
             for s in range(0, len(keys) - sb + 1, sb):
                 sel = order[s : s + sb]
-                od_i, od_s, f, m = od_ids[sel], od_seg[sel], feats[sel], masks[sel]
+                od_i, od_s, f, m = build_inputs([keys[j] for j in sel])
                 key, k1 = jax.random.split(key)
                 if ns.kv_cache:
                     from aladin_tpu.tasks.decode_cache import (
@@ -298,65 +308,84 @@ def main(argv=None) -> int:
                 rews.append(float(adv.mean()))
             logger.info(f"scst epoch {epoch} loss {np.mean(losses):.4f} "
                         f"mean-advantage {np.mean(rews):.4f} ({time.time() - t0:.1f}s)")
-    if ns.use_cbs:
-        if ns.kv_cache:
-            logger.warning("--kv_cache has no effect with --use_cbs: the "
-                           "constrained beam search decoder is full-recompute")
-        from aladin_tpu.tasks.cbs import (
-            ConstraintFilter,
-            FiniteStateMachineBuilder,
-            cbs_decode,
-            select_best_beam_with_constraints,
-        )
+    if ns.use_cbs and ns.kv_cache:
+        logger.warning("--kv_cache has no effect with --use_cbs: the "
+                       "constrained beam search decoder is full-recompute")
 
-        filt = ConstraintFilter()
-        builder = FiniteStateMachineBuilder(tok.vocab_size)
-        tables, n_cons, max_states = [], [], 1
-        for k in keys:
-            objs = provider.get_objects(k)
-            names = filt(
-                np.asarray([o.get("rect", [0, 0, 1, 1]) for o in objs], np.float32),
-                [o["class"] for o in objs],
-                np.asarray([o.get("conf", 1.0) for o in objs], np.float32),
-            ) if objs else []
-            forms = [[tok.convert_tokens_to_ids(tok.tokenize(n))] for n in names]
-            forms = [f for f in forms if f and f[0]]
-            nxt, n_states = builder.build(forms)
-            tables.append(nxt)
-            n_cons.append(len(forms))
-            max_states = max(max_states, n_states)
-        # pad every FSM to the batch max state count (extra states are
-        # unreachable identity rows; select_best only scans main states)
-        padded = np.stack([
-            np.concatenate([
-                t, np.tile(np.arange(t.shape[0], max_states, dtype=np.int32)[:, None],
-                           (1, tok.vocab_size)),
-            ]) if t.shape[0] < max_states else t
-            for t in tables
-        ])
-        beams, scores_b, _ = cbs_decode(
-            model, params, od_ids, od_seg, feats, masks, jnp.asarray(padded),
-            num_beams=max(ns.num_beams, 2), num_states=max_states, **common)
-        toks, _ = select_best_beam_with_constraints(
-            np.asarray(beams), np.asarray(scores_b), np.asarray(n_cons),
-            ns.min_constraints_to_satisfy)
-    elif ns.num_beams > 1:
-        if ns.kv_cache:
-            from aladin_tpu.tasks.decode_cache import beam_search_decode_cached
+    def decode_chunk(ck):
+        """Decode one fixed-size batch of image keys -> (len(ck), L) ids."""
+        od_ids, od_seg, feats, masks = build_inputs(ck)
+        if ns.use_cbs:
+            from aladin_tpu.tasks.cbs import (
+                ConstraintFilter,
+                FiniteStateMachineBuilder,
+                cbs_decode,
+                select_best_beam_with_constraints,
+            )
 
-            toks, _ = beam_search_decode_cached(
-                params, od_ids, od_seg, feats, masks, cfg=cfg,
-                num_beams=ns.num_beams, **common)
+            filt = ConstraintFilter()
+            builder = FiniteStateMachineBuilder(tok.vocab_size)
+            tables, n_cons, max_states = [], [], 1
+            for k in ck:
+                objs = provider.get_objects(k)
+                names = filt(
+                    np.asarray([o.get("rect", [0, 0, 1, 1]) for o in objs], np.float32),
+                    [o["class"] for o in objs],
+                    np.asarray([o.get("conf", 1.0) for o in objs], np.float32),
+                ) if objs else []
+                forms = [[tok.convert_tokens_to_ids(tok.tokenize(n))] for n in names]
+                forms = [f for f in forms if f and f[0]]
+                nxt, n_states = builder.build(forms)
+                tables.append(nxt)
+                n_cons.append(len(forms))
+                max_states = max(max_states, n_states)
+            # pad every FSM to the chunk max state count (extra states are
+            # unreachable identity rows; select_best only scans main states)
+            padded = np.stack([
+                np.concatenate([
+                    t, np.tile(np.arange(t.shape[0], max_states, dtype=np.int32)[:, None],
+                               (1, tok.vocab_size)),
+                ]) if t.shape[0] < max_states else t
+                for t in tables
+            ])
+            beams, scores_b, _ = cbs_decode(
+                model, params, od_ids, od_seg, feats, masks, jnp.asarray(padded),
+                num_beams=max(ns.num_beams, 2), num_states=max_states, **common)
+            toks, _ = select_best_beam_with_constraints(
+                np.asarray(beams), np.asarray(scores_b), np.asarray(n_cons),
+                ns.min_constraints_to_satisfy)
+            return np.asarray(toks)
+        if ns.num_beams > 1:
+            if ns.kv_cache:
+                from aladin_tpu.tasks.decode_cache import beam_search_decode_cached
+
+                toks, _ = beam_search_decode_cached(
+                    params, od_ids, od_seg, feats, masks, cfg=cfg,
+                    num_beams=ns.num_beams, **common)
+            else:
+                toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats,
+                                             masks, num_beams=ns.num_beams, **common)
+        elif ns.kv_cache:
+            from aladin_tpu.tasks.decode_cache import greedy_decode_cached
+
+            toks, _ = greedy_decode_cached(params, od_ids, od_seg, feats, masks,
+                                           cfg=cfg, **common)
         else:
-            toks, _ = beam_search_decode(model, params, od_ids, od_seg, feats,
-                                         masks, num_beams=ns.num_beams, **common)
-    elif ns.kv_cache:
-        from aladin_tpu.tasks.decode_cache import greedy_decode_cached
+            toks, _ = greedy_decode(model, params, od_ids, od_seg, feats, masks,
+                                    **common)
+        return np.asarray(toks)
 
-        toks, _ = greedy_decode_cached(params, od_ids, od_seg, feats, masks,
-                                       cfg=cfg, **common)
-    else:
-        toks, _ = greedy_decode(model, params, od_ids, od_seg, feats, masks, **common)
+    # decode every image once in fixed-size batches (tail padded to the
+    # compiled shape), score against the reference captions
+    eb = min(ns.eval_batch_size, len(keys))
+    parts = []
+    for s in range(0, len(keys), eb):
+        ck = list(keys[s : s + eb])
+        pad = eb - len(ck)
+        if pad:
+            ck = ck + [ck[-1]] * pad
+        parts.append(decode_chunk(ck)[: eb - pad])
+    toks = np.concatenate(parts)
     hyps = detokenize(tok, np.asarray(toks))
     preds = {k: [h] for k, h in zip(keys, hyps)}
     gts = {k: captions[k] for k in keys}

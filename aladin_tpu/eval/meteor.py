@@ -90,16 +90,22 @@ def _align_words(hyp: List[str], ref: List[str]) -> list:
     wn = _get_wordnet()
     syn = []
     if wn is not None and henum and renum:
-        def is_syn(hw, rw):
-            lemmas = {
-                lemma.name()
-                for ss in wn.synsets(hw)
-                for lemma in ss.lemmas()
-                if lemma.name().find("_") < 0
-            } | {hw}
-            return rw in lemmas
+        # lemma set once per HYPOTHESIS token (nltk does the same), not per
+        # (hyp, ref) pair — the WordNet lookup is the stage's whole cost
+        lemma_cache = {}
 
-        syn, henum, renum = _match_enums(henum, renum, is_syn)
+        def lemmas_of(hw):
+            if hw not in lemma_cache:
+                lemma_cache[hw] = {
+                    lemma.name()
+                    for ss in wn.synsets(hw)
+                    for lemma in ss.lemmas()
+                    if lemma.name().find("_") < 0
+                } | {hw}
+            return lemma_cache[hw]
+
+        syn, henum, renum = _match_enums(
+            henum, renum, lambda hw, rw: rw in lemmas_of(hw))
     return sorted(exact + stem + syn, key=lambda p: p[0])
 
 

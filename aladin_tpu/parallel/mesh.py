@@ -102,6 +102,19 @@ def sharded_mrsw_scores(
     s_seq = jax.device_put(s_seq, cap_sh)
     s_len = jax.device_put(s_len, cap_sh)
 
+    score = _mrsw_score_fn(mesh, axes, take_pallas, pallas_interpret,
+                           aggregation, compute_dtype)
+    out = score(im_set, s_seq, im_len, s_len)
+    return out[:, :n_cap]
+
+
+@functools.lru_cache(maxsize=32)
+def _mrsw_score_fn(mesh, axes, take_pallas, pallas_interpret, aggregation,
+                   compute_dtype):
+    """Cached jitted shard_map scorer — defining it inside the call body
+    would give every invocation a fresh jit cache and recompile the program
+    on each validate()."""
+
     @jax.jit
     @functools.partial(
         jax.shard_map,
@@ -124,8 +137,7 @@ def sharded_mrsw_scores(
 
         return score_all_pairs(ims, caps, il, sl, aggregation, 128)
 
-    out = score(im_set, s_seq, im_len, s_len)
-    return out[:, :n_cap]
+    return score
 
 
 def sharded_matching_scores(mesh: Mesh, img_glob: Array, cap_glob: Array) -> Array:
@@ -137,6 +149,12 @@ def sharded_matching_scores(mesh: Mesh, img_glob: Array, cap_glob: Array) -> Arr
     cap_glob = jnp.pad(cap_glob, ((0, pad), (0, 0)))
     img_glob = jax.device_put(img_glob, NamedSharding(mesh, P()))
     cap_glob = jax.device_put(cap_glob, NamedSharding(mesh, P(axes)))
+    return _matching_score_fn(mesh, axes)(img_glob, cap_glob)[:, :n_cap]
+
+
+@functools.lru_cache(maxsize=32)
+def _matching_score_fn(mesh, axes):
+    """Cached jitted shard_map matmul (see _mrsw_score_fn)."""
 
     @jax.jit
     @functools.partial(
@@ -145,4 +163,4 @@ def sharded_matching_scores(mesh: Mesh, img_glob: Array, cap_glob: Array) -> Arr
     def score(a, b):
         return jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
 
-    return score(img_glob, cap_glob)[:, :n_cap]
+    return score

@@ -50,10 +50,35 @@ class FiniteStateMachineBuilder:
 
     def build(self, constraint_forms: Sequence[List[List[int]]]) -> Tuple[np.ndarray, int]:
         """constraint_forms[i] = list of token-id sequences for constraint i.
-        Returns (next_state (S, V) int32, num_states)."""
+        Returns (next_state (S, V) int32, num_states).
+
+        Overlap semantics (the "completing any form flips bit i" contract):
+        a token that is itself a single-token form still earns its bit when
+        consumed as the FIRST or LAST token of another constraint's chain —
+        e.g. with 'snow' and ['snow','##board'], the caption 'snow hill'
+        earns bit(snow) (the substate's fallback rows carry it), and with
+        'truck' and ['fire','truck'], 'fire truck' earns BOTH bits. A
+        substate falls back to the full transition row of the main state
+        holding its earned bits, so chain re-entry and single-token
+        completions keep working mid-chain. Known limitation (as in the
+        dense reference table, ref:cbs.py:649-747): two multi-token chains
+        from the same state sharing a first token clobber each other (last
+        one wins)."""
         c = len(constraint_forms)
         assert c <= self.max_constraints
         n_main = 1 << c
+
+        def tok_bits(state: int, tok: int) -> int:
+            """Bits of single-token constraints that consuming `tok` from
+            main state `state` completes."""
+            bits = 0
+            for i, forms in enumerate(constraint_forms):
+                if not (state >> i) & 1 and any(
+                    len(f) == 1 and f[0] == tok for f in forms
+                ):
+                    bits |= 1 << i
+            return bits
+
         # collect chain substates for multi-token forms
         chains = []  # (main_from, bit, form tokens)
         for i, forms in enumerate(constraint_forms):
@@ -67,49 +92,62 @@ class FiniteStateMachineBuilder:
         s_total = n_main + n_sub
         nxt = np.tile(np.arange(s_total, dtype=np.int32)[:, None], (1, self.vocab_size))
 
-        # single-token transitions from each main state
-        for i, forms in enumerate(constraint_forms):
-            for form in forms:
-                if len(form) == 1:
-                    tok = form[0]
-                    for m in range(n_main):
-                        if not (m >> i) & 1:
-                            nxt[m, tok] = m | (1 << i)
+        # pass 1: single-token transitions (bits for ALL constraints the
+        # token completes, not one overwriting another)
+        for m in range(n_main):
+            toks = {f[0] for forms in constraint_forms for f in forms if len(f) == 1}
+            for tok in toks:
+                bits = tok_bits(m, tok)
+                if bits:
+                    nxt[m, tok] = m | bits
 
-        # multi-token chains: m --t0--> sub1 --t1--> ... --tk--> m|bit
+        # pass 2a: assign substate ids + install chain entry transitions
+        # into the main states (before substate rows are copied, so chains
+        # can re-enter each other from a substate fallback)
         sub = n_main
+        chain_subs = []  # (sub ids per chain)
         for m, i, form in chains:
-            prev = m
-            for step, tok in enumerate(form):
-                last = step == len(form) - 1
-                target = (m | (1 << i)) if last else sub
-                if step == 0:
-                    nxt[prev, tok] = target
-                else:
-                    # substates: any non-matching token resets to the origin
-                    nxt[prev, :] = self._reset_row(nxt, prev, m)
-                    nxt[prev, tok] = target
-                prev = target
-                if not last:
-                    sub += 1
-        return nxt, s_total
+            ids = list(range(sub, sub + len(form) - 1))
+            sub += len(form) - 1
+            chain_subs.append(ids)
+            nxt[m, form[0]] = ids[0]
 
-    @staticmethod
-    def _reset_row(nxt, state, reset_to):
-        row = np.full(nxt.shape[1], reset_to, np.int32)
-        return row
+        # pass 2b: fill substate rows. After consuming t0..tk the earned
+        # single-token bits are accumulated in `acc`; the substate behaves
+        # like main state `acc` for every non-advancing token.
+        for (m, i, form), ids in zip(chains, chain_subs):
+            acc = m | tok_bits(m, form[0])
+            for step in range(1, len(form)):
+                s_id = ids[step - 1]
+                nxt[s_id, :] = nxt[acc, :]
+                tok = form[step]
+                if step == len(form) - 1:
+                    nxt[s_id, tok] = acc | tok_bits(acc, tok) | (1 << i)
+                else:
+                    acc = acc | tok_bits(acc, tok)
+                    nxt[s_id, tok] = ids[step]
+        return nxt, s_total
 
 
 def adjacency_to_next_state(fsm: np.ndarray) -> np.ndarray:
-    """(S, S, V) boolean adjacency (the reference layout) -> (S, V) table."""
-    return np.argmax(fsm, axis=1).astype(np.int32)
+    """(S, S, V) boolean adjacency (the reference layout) -> (S, V) table.
+    A (state, token) column with no outgoing edge self-loops (argmax over
+    all-False would otherwise silently teleport to state 0, clearing every
+    satisfied-constraint bit)."""
+    nxt = np.argmax(fsm, axis=1).astype(np.int32)
+    has_edge = fsm.any(axis=1)
+    self_loop = np.arange(fsm.shape[0], dtype=np.int32)[:, None]
+    return np.where(has_edge, nxt, self_loop)
 
 
 def num_constraints_satisfied(states: np.ndarray, num_constraints: int) -> np.ndarray:
-    """popcount of the main-state bits; substates inherit their origin's count
-    conservatively as 0 extra (finished captions always sit in main states)."""
-    s = np.minimum(states, (1 << num_constraints) - 1)
-    return np.asarray([bin(int(x)).count("1") for x in np.atleast_1d(s)])
+    """popcount of the main-state bits. Chain substates (index >= 2^C) carry
+    in-progress bits not recoverable from the index alone, so they count as
+    0 — conservative, and moot for selection: finished captions are judged
+    by select_best_beam_with_constraints over main states only."""
+    s = np.atleast_1d(states)
+    n_main = 1 << num_constraints
+    return np.asarray([bin(int(x)).count("1") if x < n_main else 0 for x in s])
 
 
 class ConstraintFilter:

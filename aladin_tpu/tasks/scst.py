@@ -32,8 +32,13 @@ class ScstRewardCriterion:
     def rewards(self, sampled: Sequence[str], greedy: Sequence[str],
                 gt_sets: Sequence[List[str]]) -> np.ndarray:
         """(advantage per sample,) = CIDEr-D(sample) - baseline."""
-        n = len(sampled)
-        gts = {i: gt_sets[i % len(gt_sets)] for i in range(n + len(greedy))}
+        n, g = len(sampled), len(gt_sets)
+        # samples are GROUPED per image (the reference's seq_per_img layout,
+        # ref:caption_evaluate.py:137-146): sample i belongs to image
+        # i // (n // g); greedy j is the one baseline decode of image j
+        per = max(n // max(g, 1), 1)
+        gts = {i: gt_sets[min(i // per, g - 1)] for i in range(n)}
+        gts.update({n + j: gt_sets[j % max(g, 1)] for j in range(len(greedy))})
         res = {i: [s] for i, s in enumerate(list(sampled) + list(greedy))}
         _, scores = self.cider.compute_score(gts, res)
         sample_scores = scores[:n]
@@ -41,7 +46,9 @@ class ScstRewardCriterion:
             base = scores[n:]
             if len(base) == 0:
                 base = np.zeros(1)
-            baseline = np.repeat(base, n // max(len(base), 1))[:n]
+            baseline = np.repeat(base, per)[:n]
+            if len(baseline) < n:  # ragged n not divisible by g
+                baseline = np.pad(baseline, (0, n - len(baseline)), mode="edge")
         else:
             baseline = np.full(n, sample_scores.mean())
         return sample_scores - baseline

@@ -100,14 +100,19 @@ class Trainer:
             if not pending:
                 return
             fetched = jax.device_get([m for _, _, m in pending])  # THE sync
+            # lr values for the window in ONE device round trip (the
+            # schedule is jnp math; per-step float() would be one ~25 ms
+            # fetch each, re-adding the overhead this batching removes)
+            gsteps = [g for g, _, _ in pending]
+            lrs = np.asarray(jax.vmap(self.lr_schedule)(jnp.asarray(gsteps)))
             elapsed = time.time() - window_start
             batch_time.update(elapsed / len(pending), n=len(pending))
-            for (gstep, bi, _), m in zip(pending, fetched):
+            for (gstep, bi, _), m, lr in zip(pending, fetched, lrs):
                 for k, v in m.items():
                     collector.update(k, float(v), n=1)
                 self.tb.add_scalar("epoch", epoch, gstep)
                 self.tb.add_scalar("step", bi, gstep)
-                self.tb.add_scalar("lr", float(self.lr_schedule(gstep)), gstep)
+                self.tb.add_scalar("lr", float(lr), gstep)
                 collector.tb_log(self.tb, step=gstep)
             last = pending[-1][0]
             self.tb.add_scalar("batch_time", batch_time.val, last)

@@ -42,6 +42,58 @@ def test_fsm_multi_token_chain():
     assert nxt[0, 4] == 0
 
 
+def _run(nxt, tokens, state=0):
+    for t in tokens:
+        state = int(nxt[state, t])
+    return state
+
+
+def test_fsm_single_token_shared_with_chain_prefix():
+    """'snow' (c0, token 3) and 'snowboard' (c1, [3, 4]): consuming 3 must
+    earn bit(c0) whether or not the chain completes, and 3-then-4 earns
+    BOTH bits. Regression: the chain's first-token write used to clobber
+    the single-token transition, making c0 unsatisfiable."""
+    b = FiniteStateMachineBuilder(vocab_size=10)
+    nxt, _ = b.build([[[3]], [[3, 4]]])
+    assert _run(nxt, [3, 7]) == 1          # 'snow hill' -> bit0
+    assert _run(nxt, [3, 4]) == 3          # 'snow board' -> both bits
+    assert _run(nxt, [7, 3, 7, 3, 4]) == 3  # re-entry after reset
+
+
+def test_fsm_chain_final_token_is_single_constraint():
+    """'truck' (c0, token 4) and 'fire truck' (c1, [3, 4]): 'fire truck'
+    satisfies BOTH constraints (the final token completes c0 too)."""
+    b = FiniteStateMachineBuilder(vocab_size=10)
+    nxt, _ = b.build([[[4]], [[3, 4]]])
+    assert _run(nxt, [3, 4]) == 3          # both bits
+    assert _run(nxt, [4]) == 1             # 'truck' alone -> bit0
+    assert _run(nxt, [3, 7]) == 0          # 'fire x' -> nothing
+
+
+def test_fsm_substate_mid_chain_other_constraint():
+    """At a chain substate, a token completing an unrelated single-token
+    constraint must still earn that bit (substates fall back to the full
+    row of the state holding their earned bits)."""
+    b = FiniteStateMachineBuilder(vocab_size=10)
+    nxt, _ = b.build([[[5]], [[3, 4]]])    # c0='dog'(5), c1='fire truck'
+    assert _run(nxt, [3, 5]) == 1          # chain broken by 'dog' -> bit0
+    assert _run(nxt, [3, 5, 3, 4]) == 3    # then completing the chain
+
+
+def test_adjacency_no_edge_self_loops():
+    """A (state, token) column with no outgoing edge must self-loop, not
+    teleport to state 0 (argmax of all-False)."""
+    adj = np.zeros((2, 2, 4), bool)
+    adj[0, 0, :] = True
+    nxt = adjacency_to_next_state(adj)
+    assert nxt[1, 0] == 1 and nxt[1, 3] == 1
+
+
+def test_num_constraints_satisfied_substates_count_zero():
+    # substate index (>= 2^C) -> conservative 0, not popcount of the index
+    assert list(num_constraints_satisfied(np.array([4, 5]), 2)) == [0, 0]
+
+
 def test_adjacency_conversion():
     adj = np.zeros((2, 2, 4), bool)
     adj[0, 0, :] = True
