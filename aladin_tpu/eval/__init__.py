@@ -4,4 +4,9 @@ from aladin_tpu.eval.recall import (  # noqa: F401
     recall_1k_5fold,
     recall_metrics,
 )
-from aladin_tpu.eval.retrieval import evaluate_alignment_head, i2t_from_scores, t2i_from_scores  # noqa: F401
+from aladin_tpu.eval.retrieval import (  # noqa: F401
+    evaluate_alignment_head,
+    i2t_from_scores,
+    retrieval_metrics_from_scores,
+    t2i_from_scores,
+)

@@ -53,6 +53,13 @@ def encode_data(
             s = buffer_len or (max(img_set.shape[1], cap_seq.shape[1]) + 1)
             img_embs = np.zeros((n, s, img_set.shape[2]), np.float32)
             cap_embs = np.zeros((n, s, cap_seq.shape[2]), np.float32)
+        wide = max(img_set.shape[1], cap_seq.shape[1])
+        if wide > img_embs.shape[1]:
+            # a variable-width loader (length-bucketed encode) can yield
+            # wider batches later; grow the buffers instead of crashing
+            grow = wide - img_embs.shape[1]
+            img_embs = np.pad(img_embs, ((0, 0), (0, grow), (0, 0)))
+            cap_embs = np.pad(cap_embs, ((0, 0), (0, grow), (0, 0)))
 
         img_embs[ptr : ptr + b, : img_set.shape[1]] = img_set[:b]
         cap_embs[ptr : ptr + b, : cap_seq.shape[1]] = cap_seq[:b]

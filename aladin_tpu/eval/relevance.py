@@ -59,14 +59,19 @@ def _score_query(args):
         meteor = _WORKER["scorer"]
         for ii, refs in enumerate(caps):
             row[ii] = max(meteor(refs, q) for q in query_caps)
-    else:  # spice: one jar invocation scores the query against every image
+    else:  # spice: one jar invocation per query sentence, elementwise max —
+        # the same max-over-the-query's-sentences semantics as the other
+        # methods (a single-sentence query costs exactly one invocation,
+        # the reference's layout, ref:compute_relevance.py:43-54)
         from aladin_tpu.eval.spice import Spice
 
         gts = {ii: refs for ii, refs in enumerate(caps)}
-        res = {ii: [query_caps[0]] for ii in gts}
-        _, results = Spice().compute_score(gts, res)
-        for item in results:
-            row[int(item["image_id"])] = float(item["scores"]["All"]["f"])
+        for q in query_caps:
+            res = {ii: [q] for ii in gts}
+            _, results = Spice().compute_score(gts, res)
+            for item in results:
+                ii = int(item["image_id"])
+                row[ii] = max(row[ii], float(item["scores"]["All"]["f"]))
     return qi, row
 
 

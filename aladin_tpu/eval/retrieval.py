@@ -58,29 +58,36 @@ def _ndcg(scores, ndcg_scorer, fold_index: int, retrieval: str) -> Tuple[float, 
 
     The shipped reference constructs the scorer as None (SURVEY.md S2.6(11)),
     returning zeros; we honor the same default but keep the machinery live.
+    compute_ndcg's dict is read BY METHOD NAME — a scorer built with only
+    one relevance matrix (e.g. methods=['spice']) must not mislabel it.
     """
     if ndcg_scorer is None:
         return 0.0, 0.0
-    s = np.asarray(scores)
+    s = np.asarray(scores) if retrieval == "sentence" else np.asarray(scores).T
+    npts = np.asarray(scores).shape[0]
     rougel, spice = [], []
-    if retrieval == "sentence":
-        npts = s.shape[0]
-        for q in range(npts):
-            inds = np.argsort(s[q])[::-1]
-            vals = ndcg_scorer.compute_ndcg(npts, q, inds.astype(int), fold_index, "sentence")
-            r = list(vals.values())
-            rougel.append(r[0])
-            spice.append(r[1] if len(r) > 1 else 0.0)
-    else:
-        npts = s.shape[0]
-        st = s.T
-        for q in range(st.shape[0]):
-            inds = np.argsort(st[q])[::-1]
-            vals = ndcg_scorer.compute_ndcg(npts, q, inds.astype(int), fold_index, "image")
-            r = list(vals.values())
-            rougel.append(r[0])
-            spice.append(r[1] if len(r) > 1 else 0.0)
+    for q in range(s.shape[0]):
+        inds = np.argsort(s[q])[::-1]
+        vals = ndcg_scorer.compute_ndcg(npts, q, inds.astype(int), fold_index, retrieval)
+        rougel.append(float(vals.get("rougeL", 0.0)))
+        spice.append(float(vals.get("spice", 0.0)))
     return float(np.mean(rougel)), float(np.mean(spice))
+
+
+def retrieval_metrics_from_scores(
+    scores, captions_per_image: int = 5, ndcg_scorer=None, fold_index: int = 0
+) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """(i2t, t2i) metric dicts with ONE rank extraction — the ranks kernel
+    computes both directions anyway, so calling the single-direction
+    helpers back-to-back would run it twice on the same matrix."""
+    i2t_r, t2i_r = _ranks_from_scores(jnp.asarray(scores), captions_per_image)
+    i2t = recall_metrics(np.asarray(i2t_r))
+    t2i = recall_metrics(np.asarray(t2i_r))
+    i2t["ndcg_rougel"], i2t["ndcg_spice"] = _ndcg(
+        scores, ndcg_scorer, fold_index, retrieval="sentence")
+    t2i["ndcg_rougel"], t2i["ndcg_spice"] = _ndcg(
+        scores, ndcg_scorer, fold_index, retrieval="image")
+    return i2t, t2i
 
 
 def evaluate_alignment_head(
@@ -125,8 +132,7 @@ def evaluate_alignment_head(
         cl_p = jnp.pad(cl, (0, pad), constant_values=4)
         scores = score_all_pairs(ims, caps_p, il, cl_p, aggregation, block)[:, :n_cap]
 
-    i2t = i2t_from_scores(scores, k, ndcg_scorer)
-    t2i = t2i_from_scores(scores, k, ndcg_scorer)
+    i2t, t2i = retrieval_metrics_from_scores(scores, k, ndcg_scorer)
     return i2t, t2i, scores
 
 
@@ -154,8 +160,7 @@ def fivefold_from_scores(
     for f in range(n_folds):
         blk = scores[f * fold_im : (f + 1) * fold_im,
                      f * fold_im * k : (f + 1) * fold_im * k]
-        i2t = i2t_from_scores(blk, k, ndcg_scorer, fold_index=f)
-        t2i = t2i_from_scores(blk, k, ndcg_scorer, fold_index=f)
+        i2t, t2i = retrieval_metrics_from_scores(blk, k, ndcg_scorer, fold_index=f)
         for key in keys:
             acc_i2t[key] += i2t[key]
             acc_t2i[key] += t2i[key]

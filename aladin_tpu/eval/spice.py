@@ -45,7 +45,7 @@ class PTBTokenizer:
         jar = _require(CORENLP_JAR, "PTB tokenization")
         image_ids = [k for k, v in captions_for_image.items() for _ in range(len(v))]
         sentences = "\n".join(
-            c["caption"].replace("\n", " ")
+            c["caption"].replace("\n", " ").replace("\r", " ")
             for v in captions_for_image.values()
             for c in v
         )
@@ -61,6 +61,11 @@ class PTBTokenizer:
         finally:
             os.remove(path)
         lines = out.rstrip("\n").split("\n")
+        if len(lines) != len(image_ids):  # line drift would misassign every
+            raise RuntimeError(           # following caption silently
+                f"PTB tokenizer returned {len(lines)} lines for "
+                f"{len(image_ids)} captions"
+            )
         punct = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
                  ".", "?", "!", ",", ":", "-", "--", "...", ";"}
         result: Dict[str, List[str]] = {}

@@ -58,13 +58,17 @@ def save_checkpoint(
         "epoch": int(epoch),
         "best_rsum": float(best_rsum),
     }
+    # write to a temp sibling, then swap — deleting the old checkpoint
+    # before the new one exists would leave NO resume point if every save
+    # attempt fails (the exact storage outage the retry loop is for)
+    tmp = path + ".tmp"
     ckptr = ocp.PyTreeCheckpointer()
     last_err = None
     for attempt in range(retries):
         try:
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            ckptr.save(path, payload)
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            ckptr.save(tmp, payload)
             last_err = None
             break
         except Exception as e:  # noqa: BLE001 - retry any IO-layer failure
@@ -76,15 +80,22 @@ def save_checkpoint(
         raise last_err
     import json
 
-    with open(os.path.join(path, "experiment_config.json"), "w") as f:
+    with open(os.path.join(tmp, "experiment_config.json"), "w") as f:
         json.dump(config_dict, f, indent=2, default=str)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
     for flag, tag in ((is_best_rsum, "model_best_rsum"),
                       (is_best_ndcgspice, "model_best_ndcgspice")):
         if flag:
             best = os.path.join(out_dir, tag)
+            best_tmp = best + ".tmp"
+            if os.path.exists(best_tmp):
+                shutil.rmtree(best_tmp)
+            shutil.copytree(path, best_tmp)
             if os.path.exists(best):
                 shutil.rmtree(best)
-            shutil.copytree(path, best)
+            os.replace(best_tmp, best)
     return path
 
 

@@ -96,19 +96,14 @@ def sample_pairs(dataset, indices, rng: np.random.RandomState):
 
 def ranks_from_pair_probs(probs: np.ndarray, captions_per_image: int = 5):
     """i2t/t2i ranks from the (N_img, N_img * cpi) pair-probability matrix
-    (ref:run_retrieval.py:264-293 compute_ranks semantics)."""
-    n = probs.shape[0]
-    k = captions_per_image
-    i2t = np.zeros(n)
-    for i in range(n):
-        inds = np.argsort(probs[i])[::-1]
-        i2t[i] = min(np.where(inds == j)[0][0] for j in range(i * k, i * k + k))
-    t2i = np.zeros(n * k)
-    pt = probs.T
-    for c in range(n * k):
-        inds = np.argsort(pt[c])[::-1]
-        t2i[c] = np.where(inds == c // k)[0][0]
-    return i2t, t2i
+    (ref:run_retrieval.py:264-293 compute_ranks semantics). The matrix has
+    exactly the (N_im, N_cap) contract of eval/recall.py's fused rank
+    kernel, so delegate (count-greater tie semantics, documented there)
+    instead of an O(N^2 log N) host argsort loop."""
+    from aladin_tpu.eval.recall import ranks_from_score_matrix
+
+    i2t, t2i = ranks_from_score_matrix(np.asarray(probs), captions_per_image)
+    return np.asarray(i2t), np.asarray(t2i)
 
 
 def evaluate_cross(model, params, dataset, chunk: int = 64) -> Dict[str, float]:

@@ -52,7 +52,10 @@ def load_answer_vocab(path: str) -> Dict[str, int]:
             if isinstance(d, list):
                 return {a: i for i, a in enumerate(d)}
             return {k: int(v) for k, v in d.items()}
-        return {line.strip(): i for i, line in enumerate(f) if line.strip()}
+        # enumerate only NON-BLANK lines: raw line numbers would leave index
+        # gaps that silently shrink the classifier's label space
+        answers = [line.strip() for line in f if line.strip()]
+        return {a: i for i, a in enumerate(answers)}
 
 
 def vqa_soft_target(example: VqaExample, num_answers: int) -> np.ndarray:
