@@ -25,6 +25,9 @@ class TSVFile:
         self.tsv_file = tsv_file
         self.lineidx_file = os.path.splitext(tsv_file)[0] + ".lineidx"
         self._tls = threading.local()
+        self._all_fps: List = []  # every handle opened, across threads
+        self._fps_lock = threading.Lock()
+        self._gen = 0  # bumped by close(): other threads must reopen
         self._lineidx: Optional[List[int]] = None
         if not os.path.isfile(self.lineidx_file) and generate_lineidx:
             self._generate_lineidx()
@@ -46,9 +49,13 @@ class TSVFile:
         ref:tsv_file.py:77-85; the surviving thread of a fork keeps its
         thread-local entry, hence the explicit pid check)."""
         fp = getattr(self._tls, "fp", None)
-        if fp is None or getattr(self._tls, "pid", None) != os.getpid():
+        if (fp is None or getattr(self._tls, "pid", None) != os.getpid()
+                or getattr(self._tls, "gen", -1) != self._gen):
             fp = self._tls.fp = open(self.tsv_file, "rb")
             self._tls.pid = os.getpid()
+            self._tls.gen = self._gen
+            with self._fps_lock:
+                self._all_fps.append(fp)
         return fp
 
     def _ensure_lineidx(self) -> None:
@@ -67,10 +74,18 @@ class TSVFile:
         return fp.readline().decode("utf-8").rstrip("\n").split("\t")
 
     def close(self) -> None:
-        fp = getattr(self._tls, "fp", None)
-        if fp is not None:
-            fp.close()
-            self._tls.fp = None
+        """Close EVERY handle this instance opened — loader pool threads
+        open their own via _ensure_open, and closing only the calling
+        thread's would leak the rest (inherited as open fds by forks)."""
+        with self._fps_lock:
+            fps, self._all_fps = self._all_fps, []
+            self._gen += 1  # stale thread-local handles must reopen
+        for fp in fps:
+            try:
+                fp.close()
+            except Exception:
+                pass
+        self._tls.fp = None
 
     def __len__(self) -> int:
         return self.num_rows()

@@ -50,7 +50,11 @@ class CiderD:
             k = len(g) - 1
             vec[k][g] = float(c) * (self.log_ref_len - df)
             norm[k] += vec[k][g] ** 2
-            if k == 0:
+            if k == 1:
+                # sentence length = BIGRAM term frequency (= tokens-1), the
+                # reference's convention (pycocoevalcap cider_scorer `if
+                # n == 1` with 1-indexed n); unigram counting diverges for
+                # empty/1-token candidates in the length penalty
                 length += c
         return vec, [math.sqrt(x) for x in norm], length
 

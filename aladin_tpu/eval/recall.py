@@ -114,6 +114,14 @@ def recall_1k_5fold(img_embs, cap_embs, fold: int = 5000) -> Dict[str, float]:
     acc = {k: 0.0 for k in keys}
     n_folds = max(len(img_embs) // fold, 1)
     fold = min(fold, len(img_embs))
+    if len(img_embs) % fold:
+        import logging
+
+        logging.getLogger("vlpretrain").warning(
+            "recall_1k_5fold: %d trailing rows (of %d) fall outside the "
+            "%d complete folds and are excluded from the averaged metrics",
+            len(img_embs) - n_folds * fold, len(img_embs), n_folds,
+        )
     for i in range(n_folds):
         m = compute_recall(img_embs[i * fold : (i + 1) * fold], cap_embs[i * fold : (i + 1) * fold])
         for k in keys:

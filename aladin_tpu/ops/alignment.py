@@ -17,9 +17,17 @@ Static-shape note: the reference slices to the *batch max* length before
 masking, so the set of padded (zero) positions depends on batch composition.
 Here R and W are compile-time constants (max_img_seq_len - 1 and
 max_seq_len - 3 after stripping); padded positions are always fully masked.
-The only observable divergence is the 'mean' mode, whose denominator in the
-reference is the dynamic batch-max area - ours is the static area. All
-shipped configs use 'MrSw', which is invariant to this.
+Two observable divergences follow. (a) The 'mean' mode denominator: the
+reference's is the dynamic batch-max area, ours the static area. (b) The
+zero floor for the BATCH-LONGEST sample: in the reference, the one image
+(resp. caption) whose length equals the batch max has no padded rows, so
+its max-over-regions (MrSw/symm; over-words for MwSr) can go negative,
+while every other sample is floored at 0; with static shapes every sample
+with length < R (resp. W) is floored. This differs only when a row of real
+alignment values is ALL negative for the batch-longest sample — a
+batch-composition-dependent quirk of the reference, not a semantic, and
+unreachable by any dynamic-shape-free program. All shipped configs use
+'MrSw' at training batch sizes where the effect is noise.
 
 Eval-scale scoring (5k x 25k pairs) never materializes the 4-D tensor: see
 :func:`score_all_pairs` (XLA blockwise scan) and the fused Pallas kernel in

@@ -16,8 +16,10 @@ Auxiliary learnables owned here (the reference scatters them across Modules):
   * auto loss weights s_k, init -2.3 (ref:alad_model.py:272). NOTE the
     reference's are plain-dict Parameters that never reach the optimizer and
     therefore stay constant (SURVEY.md S2.6 follow-on); ours actually learn.
-  * the mse-distillation affine wb, init [0.5, 0.5] (ref:alad/loss.py:367);
-  * the InfoNCE log-temperature (ref:alad/loss.py:193).
+  * the mse-distillation affine wb, init [0.5, 0.5] (ref:alad/loss.py:367).
+(The InfoNCE log-temperature, ref:alad/loss.py:193, is an ARGUMENT of
+ops/losses.info_nce_loss, not an aux param — the loss is library-only, as
+in the reference, whose CrossEntropyCriterion no shipped config uses.)
 """
 
 from __future__ import annotations

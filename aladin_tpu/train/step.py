@@ -107,9 +107,12 @@ def make_loss_fn(model: ALADIN, cfg: ExperimentConfig) -> Callable:
             terms["selfaggregation"] = matching_loss
 
         if "distillation" in types:
+            # margin is the DistillationLoss default 0.2, NOT the config's
+            # training.margin: the reference constructs the loss without
+            # passing it (ref:alad/alad_model.py:277, loss.py:361)
             terms["distillation"] = L.distillation_loss(
                 jax.lax.stop_gradient(teacher), matching_mat, tc.distillation_mode,
-                wb=aux.get("distill_wb"), margin=tc.margin,
+                wb=aux.get("distill_wb"), margin=0.2,
             )
 
         if "entropy" in types:
@@ -123,6 +126,10 @@ def make_loss_fn(model: ALADIN, cfg: ExperimentConfig) -> Callable:
         if "distillation" in terms and len(terms) > 1:
             gates["distillation"] = (epoch >= tc.activate_distillation_after).astype(jnp.float32)
 
+        # same weighting semantics as ops/losses.combine_losses, with the
+        # epoch gate zeroing the WHOLE per-term contribution (including the
+        # +s uncertainty regularizer) — which is why combine_losses is not
+        # called here; change both together if the formula ever moves
         total = jnp.float32(0.0)
         for k, v in terms.items():
             if tc.auto_weight:
