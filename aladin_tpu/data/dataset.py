@@ -182,19 +182,7 @@ def _load_captions_raw(path: str):
 
 
 def _load_captions(path: str) -> Dict[int, List[str]]:
-    if path.endswith(".json"):
-        with open(path) as f:
-            raw = json.load(f)
-    else:  # .pt - torch pickle, host-side read only
-        import torch
-
-        raw = torch.load(path, map_location="cpu", weights_only=False)
-    out = {}
-    for k, v in raw.items():
-        if not isinstance(v, list):
-            v = json.loads(v)
-        out[int(k)] = v
-    return out
+    return {int(k): v for k, v in _load_captions_raw(path).items()}
 
 
 class RetrievalDataset:

@@ -110,13 +110,22 @@ def captioning_loss(
     per_tok = jnp.where(active, per_tok, jnp.inf)  # inf sorts worst; masked below
 
     if drop_worst_ratio > 0:
-        k = int(per_tok.shape[0] * (1 - drop_worst_ratio))
-        kept = jax.lax.top_k(-per_tok, k)[0] * -1.0  # smallest k losses
+        # the reference's k is int(ACTIVE_count * (1-ratio)) — its loss
+        # vector holds only the dynamically-gathered masked tokens
+        # (ref:modeling_bert.py:595-597). The active count is traced here,
+        # so sort ascending (inactive inf sorts last) and keep the first
+        # floor(a * (1-ratio)) entries by mask instead of a static top_k.
+        sorted_loss = jnp.sort(per_tok)
+        a = jnp.sum(active)
+        keep = jnp.floor(
+            a.astype(jnp.float32) * (1.0 - drop_worst_ratio)
+        ).astype(jnp.int32)
+        keep = jnp.maximum(keep, 1)
+        sel = jnp.arange(per_tok.shape[0]) < keep
 
         def dropped():
-            vals = jnp.where(jnp.isfinite(kept), kept, 0.0)
-            cnt = jnp.sum(jnp.isfinite(kept))
-            return jnp.sum(vals) / jnp.maximum(cnt, 1)
+            vals = jnp.where(sel & jnp.isfinite(sorted_loss), sorted_loss, 0.0)
+            return jnp.sum(vals) / jnp.maximum(keep, 1)
 
         def plain():
             vals = jnp.where(active, jnp.where(jnp.isfinite(per_tok), per_tok, 0.0), 0.0)
@@ -269,7 +278,7 @@ def greedy_decode(
         ids = jnp.concatenate([cap, od_ids], axis=1)
         seg = jnp.concatenate([seg_a, od_seg], axis=1)
         logits = model.apply({"params": params}, ids, attn_mask, seg, img_feats, True)
-        logp = jax.nn.log_softmax(logits[:, :, :], axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
         step_logp = jnp.take_along_axis(
             logp, jnp.full((b, 1, 1), 0, jnp.int32) + t[None, None, None], axis=1
         )[:, 0, :]  # (B, vocab) logits at position t
@@ -317,7 +326,6 @@ def beam_search_decode(
     b = img_feats.shape[0]
     k = num_beams
     max_seq_a = max_steps + 1
-    vocab = None  # derived below
 
     tile = lambda x: jnp.repeat(x, k, axis=0)  # noqa: E731
     od_ids_t, od_seg_t = tile(od_ids), tile(od_seg)

@@ -18,6 +18,7 @@ Two reference capabilities live here:
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -27,6 +28,7 @@ from jax import Array
 from aladin_tpu.models.bert_img import ImageBertClassifier
 
 
+@functools.lru_cache(maxsize=8)
 def make_pair_scorer(model: ImageBertClassifier, text_len: int):
     """Returns jitted fn(params, ids, mask, seg, feats) -> (probs, att).
 
@@ -34,6 +36,10 @@ def make_pair_scorer(model: ImageBertClassifier, text_len: int):
     ref:train.py:362-365). att: (N, text_len - 1, R) last-layer head-mean
     attention of text tokens 1..text_len over the region block
     (ref:train.py:373-377 semantics with static shapes).
+
+    Cached per (model, text_len) — flax modules hash structurally — so the
+    per-training-batch teacher call reuses one compiled program instead of
+    rebuilding a fresh jit cache (and recompiling) every invocation.
     """
 
     @jax.jit
