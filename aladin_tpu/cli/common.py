@@ -56,7 +56,12 @@ def add_shared_flags(p: argparse.ArgumentParser) -> None:
                         "matrices (<data_dir>/relevances or the config's "
                         "dataset.data root); off by default like the "
                         "reference (SURVEY.md S2.6(11))")
-    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8"],
+                   help="bfloat16/float32: encoder matmul dtype. int8: "
+                        "encoder stays bfloat16, alignment SCORING runs the "
+                        "quantized double-rate MXU kernel (eval CLIs + "
+                        "in-loop validation; R@K parity test-locked)")
     p.add_argument("--int8_encoder", action="store_true",
                    help="run the encoder's projection matmuls as W8A8 "
                         "dynamic int8 (double-rate MXU mode; eval/serving "
@@ -93,7 +98,8 @@ def build_model_and_params(
     """Model + params: heads randomly initialized, backbone grafted from the
     OSCAR checkpoint dir when given (ref:alad/alad_model.py:38-43)."""
     rng = rng if rng is not None else jax.random.PRNGKey(args.seed)
-    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    # int8 quantizes the alignment-scoring kernel only; the encoder runs bf16
+    dtype = jnp.float32 if args.compute_dtype == "float32" else jnp.bfloat16
     quant = bool(getattr(args, "int8_encoder", False))
 
     if args.eval_model_dir and os.path.isdir(args.eval_model_dir):

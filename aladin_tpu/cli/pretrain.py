@@ -193,22 +193,30 @@ def main(argv=None) -> int:
                 tb.iteration = it + 1
                 tb.update(lr=float(sched(it)), batch_time=dt, **agg)
             pending, t0 = [], time.time()
-        if ((it + 1) % ns.ckpt_period == 0 or it + 1 == ns.max_iters) \
-                and distributed.is_main_process():
-            # main-process only: on a shared output_dir, concurrent
-            # rmtree+save from N hosts would corrupt the checkpoint
-            # (reference saves on rank 0, ref:run_oscarplus_pretrain.py)
-            import orbax.checkpoint as ocp
+        if (it + 1) % ns.ckpt_period == 0 or it + 1 == ns.max_iters:
+            # gather on ALL processes (collective when params are sharded
+            # across hosts - rank-0-only device_get would raise on
+            # non-addressable shards, ADVICE r2 #2), then write on rank 0
+            # only: on a shared output_dir, concurrent rmtree+save from N
+            # hosts would corrupt the checkpoint (reference saves on rank 0,
+            # ref:run_oscarplus_pretrain.py)
+            from aladin_tpu.io.checkpoint import _to_host
 
-            path = os.path.abspath(os.path.join(ns.output_dir, f"ckpt_{it + 1:07d}"))
-            if os.path.exists(path):
-                import shutil
+            host_params = _to_host(params)
+            if distributed.is_main_process():
+                import orbax.checkpoint as ocp
 
-                shutil.rmtree(path)
-            ocp.PyTreeCheckpointer().save(
-                path, {"params": jax.device_get(params), "iteration": it + 1}
-            )
-            logger.info(f"saved {path}")
+                path = os.path.abspath(
+                    os.path.join(ns.output_dir, f"ckpt_{it + 1:07d}"))
+                if os.path.exists(path):
+                    import shutil
+
+                    shutil.rmtree(path)
+                ocp.PyTreeCheckpointer().save(
+                    path, {"params": host_params, "iteration": it + 1}
+                )
+                logger.info(f"saved {path}")
+            distributed.barrier("pretrain_ckpt")
     return 0
 
 

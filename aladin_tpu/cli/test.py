@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                              "on real COCO captions; a few extra compiles)")
     ns = parser.parse_args(argv)
     args = to_data_args(ns)
+    # multi-host bring-up BEFORE first jax use (no-op single-host)
+    from aladin_tpu.parallel import distributed
+
+    distributed.initialize()
     logger = setup_logger("vlpretrain", args.logger_name)
 
     cfg_dict = None
@@ -78,9 +82,21 @@ def main(argv=None) -> int:
     example = example_batch_from_loader(loader)
     model, params, _ = build_model_and_params(cfg, args, example)
     if payload is not None:
-        params = jax.tree.map(
-            lambda _, v: jax.numpy.asarray(v), params, payload["params"]["model"]
-        )
+        # non-strict checked merge (ref:test.py:245 load_state_dict
+        # strict=False): works for both orbax dirs and released .pth.tar
+        # files; coverage is logged so a wrong checkpoint is visible
+        from aladin_tpu.io.checkpoint import merge_params_report
+
+        merged, stats = merge_params_report(
+            jax.tree.map(np.asarray, params), payload["params"]["model"])
+        params = jax.tree.map(jax.numpy.asarray, merged)
+        logger.info(
+            f"checkpoint: {stats['matched']} params loaded, "
+            f"{len(stats['missing'])} missing, {len(stats['unused'])} unused")
+        if stats["missing"]:
+            logger.warning(f"missing from checkpoint: {stats['missing'][:8]}...")
+        if stats["matched"] == 0:
+            raise ValueError(f"{ns.load_checkpoint}: no parameter matched the model")
 
     eval_step = make_eval_step(model)
     # trimmed batches vary in width; size the buffers for the full widths
@@ -95,6 +111,14 @@ def main(argv=None) -> int:
 
     mesh = maybe_create_mesh(args)
     use_pallas = jax.default_backend() == "tpu"
+    # --compute_dtype int8 switches the alignment SCORING kernel to the
+    # quantized double-rate MXU path (R@K parity locked by
+    # tests/test_eval.py int8 rank-parity); the encoder stays bf16.
+    import jax.numpy as jnp
+
+    scoring_dtype = jnp.int8 if ns.compute_dtype == "int8" else jnp.bfloat16
+    if ns.compute_dtype == "int8":
+        logger.info("alignment scoring: int8 (quantized MXU path)")
 
     logger.info("Matching head:")
     if ns.fivefold:
@@ -118,12 +142,14 @@ def main(argv=None) -> int:
             return sharded_mrsw_scores(
                 mesh, ims, caps, il, cl,
                 aggregation=cfg.training.alignment_mode, use_pallas=use_pallas,
+                compute_dtype=scoring_dtype,
             )
 
     i2t, t2i, scores = evaluate_alignment_head(
         img_embs, cap_embs, img_lens, cap_lens,
         aggregation=cfg.training.alignment_mode,
         use_pallas=use_pallas,
+        compute_dtype=scoring_dtype,
         score_fn=score_fn,
         ndcg_scorer=None if ns.fivefold else ndcg_scorer,
     )

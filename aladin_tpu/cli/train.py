@@ -42,6 +42,12 @@ def main(argv=None) -> int:
     add_shared_flags(parser)
     ns = parser.parse_args(argv)
     args = to_data_args(ns)
+    # multi-host bring-up BEFORE first jax use (no-op single-host; the
+    # reference's init_process_group equivalent,
+    # ref:oscar/run_oscarplus_pretrain.py:168-178)
+    from aladin_tpu.parallel import distributed
+
+    distributed.initialize()
     logger = setup_logger("vlpretrain", args.logger_name)
 
     if getattr(args, "int8_encoder", False):

@@ -18,8 +18,29 @@ import numpy as np
 from aladin_tpu.models.aladin import Batch
 
 
+def _make_put(sharding):
+    """Transfer fn for one batch. Single-process: a plain (possibly sharded)
+    device_put. Multi-process (jax.process_count() > 1): every process holds
+    the SAME global numpy batch (loaders are seed-deterministic), and each
+    contributes the shards its local devices own via make_array_from_callback
+    - the jax.Array spans the whole (possibly multi-host) mesh, which is what
+    a pjit train step over a process-spanning mesh requires
+    (ref DDP equivalent: oscar/run_oscarplus_pretrain.py:316-318; the torch
+    DistributedSampler's per-rank slicing becomes the sharding's index map).
+    """
+    if sharding is None:
+        return jax.device_put
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+        return put
+    return lambda x: jax.device_put(x, sharding)
+
+
 def batch_from_numpy(d, sharding=None) -> Batch:
-    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jax.device_put
+    put = _make_put(sharding)
     return Batch(
         txt_ids=put(d["txt_ids"]),
         txt_mask=put(d["txt_mask"]),

@@ -68,8 +68,19 @@ class TSVFile:
         return len(self._lineidx)
 
     def seek(self, idx: int) -> List[str]:
-        fp = self._ensure_open()
         self._ensure_lineidx()
+        # a concurrent close() may invalidate the handle between
+        # _ensure_open and the read (the generation bump is only seen at
+        # _ensure_open time); retry on the resulting ValueError so pool
+        # threads reopen instead of crashing (ADVICE r2 #3)
+        for _ in range(3):
+            fp = self._ensure_open()
+            try:
+                fp.seek(self._lineidx[idx])
+                return fp.readline().decode("utf-8").rstrip("\n").split("\t")
+            except ValueError:
+                self._tls.fp = None  # stale: force reopen on retry
+        fp = self._ensure_open()
         fp.seek(self._lineidx[idx])
         return fp.readline().decode("utf-8").rstrip("\n").split("\t")
 

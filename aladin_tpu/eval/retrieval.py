@@ -100,6 +100,8 @@ def evaluate_alignment_head(
     use_pallas: Optional[bool] = None,
     ndcg_scorer=None,
     score_fn: Optional[Callable] = None,
+    compute_dtype=None,
+    interpret: Optional[bool] = None,
 ) -> Tuple[Dict[str, float], Dict[str, float], Array]:
     """Full alignment-head eval: (i2t metrics, t2i metrics, score matrix).
 
@@ -107,9 +109,21 @@ def evaluate_alignment_head(
     cap_seqs: (5N, S_s, D). Uses the fused Pallas MrSw kernel when
     aggregation == 'MrSw' (unless disabled), the XLA blockwise scorer
     otherwise; ``score_fn`` overrides both (e.g. a mesh-sharded scorer).
+
+    ``compute_dtype=jnp.int8`` selects the quantized double-rate MXU kernel
+    mode (the --compute_dtype int8 serving path); it forces the Pallas
+    scorer, in interpret mode off-TPU, since only the kernel has an int8
+    path. Default bf16.
     """
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16
+    if compute_dtype == jnp.int8:
+        use_pallas = True
+    if interpret is None:
+        interpret = not on_tpu
     k = captions_per_image
     ims = jnp.asarray(img_sets)[::k]
     il = jnp.asarray(img_lens)[::k]
@@ -121,7 +135,8 @@ def evaluate_alignment_head(
     elif aggregation == "MrSw" and use_pallas:
         from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
 
-        scores = mrsw_scores_pallas(ims, caps, il, cl)
+        scores = mrsw_scores_pallas(ims, caps, il, cl, interpret=interpret,
+                                    compute_dtype=compute_dtype)
     else:
         from aladin_tpu.ops.alignment import score_all_pairs
 

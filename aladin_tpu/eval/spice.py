@@ -21,6 +21,11 @@ SPICE_JAR = os.environ.get("ALADIN_SPICE_JAR", "spice-1.0.jar")
 CORENLP_JAR = os.environ.get(
     "ALADIN_CORENLP_JAR", "stanford-corenlp-3.4.1.jar"
 )
+# The JVM launcher argv prefix. Overridable (ALADIN_JAVA or monkeypatch) so
+# the subprocess protocols can be exercised against a stub interpreter in CI
+# where no JVM/jars exist - the temp-file formats, argv contracts, and output
+# parsing below run for real either way (tests/test_spice_protocol.py).
+JAVA = [os.environ.get("ALADIN_JAVA", "java")]
 
 
 def _require(jar: str, what: str) -> str:
@@ -54,7 +59,7 @@ class PTBTokenizer:
             path = f.name
         try:
             cmd = [
-                "java", "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
+                *JAVA, "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
                 "-preserveLines", "-lowerCase", path,
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
@@ -96,7 +101,7 @@ class Spice:
             json.dump(input_data, f)
         try:
             subprocess.run(
-                ["java", "-jar", "-Xmx8G", jar, in_file, "-cache", cache,
+                [*JAVA, "-jar", "-Xmx8G", jar, in_file, "-cache", cache,
                  "-out", out_file, "-subset", "-silent"],
                 check=True,
             )

@@ -225,3 +225,132 @@ def load_aladin_checkpoint(path: str):
 
     meta = {"epoch": ckpt.get("epoch", 0), "Eiters": ckpt.get("Eiters", 0)}
     return tree, ckpt.get("config", {}), meta
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax tree -> reference-format state dict / .pth.tar.
+# Lets a model trained here be evaluated by the reference code (and gives the
+# interop tests a way to build byte-faithful reference checkpoints).
+# ---------------------------------------------------------------------------
+
+
+def _t(a: np.ndarray):
+    import torch
+
+    return torch.tensor(np.asarray(a))
+
+
+def _inv_dense(sd, key: str, node: Dict[str, Any]) -> None:
+    sd[key + ".weight"] = _t(node["kernel"]).T.contiguous()
+    if "bias" in node:
+        sd[key + ".bias"] = _t(node["bias"])
+
+
+def _inv_layernorm(sd, key: str, node: Dict[str, Any]) -> None:
+    sd[key + ".weight"] = _t(node["scale"])
+    sd[key + ".bias"] = _t(node["bias"])
+
+
+def bert_state_dict(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Our ``oscar`` subtree -> BertImgModel torch state dict (inverse of
+    :func:`convert_bert_state`; key layout ref:oscar/modeling/modeling_bert.py:150-279)."""
+    sd: Dict[str, Any] = {}
+    p = prefix
+    sd[p + "embeddings.word_embeddings.weight"] = _t(tree["word_embeddings"]["embedding"])
+    sd[p + "embeddings.position_embeddings.weight"] = _t(tree["position_embeddings"]["embedding"])
+    sd[p + "embeddings.token_type_embeddings.weight"] = _t(tree["token_type_embeddings"]["embedding"])
+    _inv_layernorm(sd, p + "embeddings.LayerNorm", tree["embeddings_layernorm"])
+    for name, node in tree.items():
+        if not name.startswith("layer_"):
+            continue
+        i = int(name.split("_")[1])
+        src = f"{p}encoder.layer.{i}."
+        for q in ("query", "key", "value"):
+            _inv_dense(sd, src + f"attention.self.{q}", node["attention"][q])
+        _inv_dense(sd, src + "attention.output.dense", node["attention_output"])
+        _inv_layernorm(sd, src + "attention.output.LayerNorm", node["attention_layernorm"])
+        _inv_dense(sd, src + "intermediate.dense", node["intermediate"])
+        _inv_dense(sd, src + "output.dense", node["output"])
+        _inv_layernorm(sd, src + "output.LayerNorm", node["output_layernorm"])
+    if "img_embedding" in tree:
+        _inv_dense(sd, p + "img_embedding", tree["img_embedding"])
+    if "img_layernorm" in tree:
+        _inv_layernorm(sd, p + "LayerNorm", tree["img_layernorm"])
+    if "pooler" in tree:
+        _inv_dense(sd, p + "pooler.dense", tree["pooler"])
+    return sd
+
+
+def te_state_dict(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Our TorchTransformerEncoder subtree -> torch nn.TransformerEncoder
+    state dict (inverse of :func:`convert_torch_te_state`)."""
+    import torch
+
+    sd: Dict[str, Any] = {}
+    for name, node in tree.items():
+        if not name.startswith("layer_"):
+            continue
+        i = int(name.split("_")[1])
+        src = f"{prefix}layers.{i}."
+        sa = node["self_attn"]
+        ws = [_t(sa[k]["kernel"]).T for k in ("q_proj", "k_proj", "v_proj")]
+        bs = [_t(sa[k]["bias"]) for k in ("q_proj", "k_proj", "v_proj")]
+        sd[src + "self_attn.in_proj_weight"] = torch.cat(ws, dim=0).contiguous()
+        sd[src + "self_attn.in_proj_bias"] = torch.cat(bs, dim=0)
+        _inv_dense(sd, src + "self_attn.out_proj", sa["out_proj"])
+        _inv_dense(sd, src + "linear1", node["linear1"])
+        _inv_dense(sd, src + "linear2", node["linear2"])
+        _inv_layernorm(sd, src + "norm1", node["norm1"])
+        _inv_layernorm(sd, src + "norm2", node["norm2"])
+    return sd
+
+
+def save_aladin_checkpoint(
+    path: str,
+    model_tree: Dict[str, Any],
+    config: Dict[str, Any],
+    epoch: int = 0,
+    eiters: int = 0,
+) -> str:
+    """Write our model param tree as a reference-format ``.pth.tar``
+    (dict {epoch, model, optimizer, scheduler, opt, config, Eiters},
+    ref:alad/train.py:329-337; keys under ``img_txt_enc.``). The exact
+    inverse of :func:`load_aladin_checkpoint` - ``load(save(tree)) == tree``.
+    """
+    import torch
+
+    sd: Dict[str, Any] = {}
+    if "oscar" in model_tree:
+        sd.update(bert_state_dict(model_tree["oscar"], "oscar_model.bert."))
+    for torch_name, flax_name in _ALADIN_STACKS.items():
+        if flax_name in model_tree:
+            sd.update(te_state_dict(model_tree[flax_name], torch_name + "."))
+    for torch_name, flax_name in (
+        ("depth_aggregator_model_alignment", "depth_aggregator_alignment"),
+        ("depth_aggregator_model_matching", "depth_aggregator_matching"),
+    ):
+        if flax_name in model_tree and "self_attn" in model_tree[flax_name]:
+            node = model_tree[flax_name]
+            sa = node["self_attn"]
+            ws = [_t(sa[k]["kernel"]).T for k in ("q_proj", "k_proj", "v_proj")]
+            bs = [_t(sa[k]["bias"]) for k in ("q_proj", "k_proj", "v_proj")]
+            sd[torch_name + ".self_attn.in_proj_weight"] = torch.cat(ws, dim=0).contiguous()
+            sd[torch_name + ".self_attn.in_proj_bias"] = torch.cat(bs, dim=0)
+            _inv_dense(sd, torch_name + ".self_attn.out_proj", sa["out_proj"])
+            _inv_dense(sd, torch_name + ".gate_ffn", node["gate_ffn"])
+    if "feature_fusion" in model_tree:
+        node = model_tree["feature_fusion"]
+        _inv_dense(sd, "feature_fusion.alphas.0", node["fc1"])
+        _inv_dense(sd, "feature_fusion.alphas.3", node["fc2"])
+
+    ckpt = {
+        "epoch": int(epoch),
+        "model": {"img_txt_enc." + k: v for k, v in sd.items()},
+        "optimizer": {},
+        "scheduler": None,
+        "opt": None,
+        "config": config,
+        "Eiters": int(eiters),
+    }
+    torch.save(ckpt, path)
+    return path

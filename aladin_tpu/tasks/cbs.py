@@ -94,8 +94,8 @@ class FiniteStateMachineBuilder:
 
         # pass 1: single-token transitions (bits for ALL constraints the
         # token completes, not one overwriting another)
+        toks = {f[0] for forms in constraint_forms for f in forms if len(f) == 1}
         for m in range(n_main):
-            toks = {f[0] for forms in constraint_forms for f in forms if len(f) == 1}
             for tok in toks:
                 bits = tok_bits(m, tok)
                 if bits:

@@ -24,6 +24,15 @@ decode FLOPs at the COCO geometry (L=120, 40 steps). Everything is static-
 shaped: the caches are fixed-size buffers updated with dynamic_update_slice
 inside one ``lax.scan``; beam search gathers cache rows by source beam, the
 per-example context caches are beam-invariant and never reordered.
+
+CONTRACT: the param-tree primitives below re-implement the layer math of
+models/bert_img.py by hand (no Flax apply). Any change to the backbone's
+forward (mask constant, LN placement, gelu variant, new config knob that
+alters math) MUST be mirrored here; the guard is the config-variant parity
+matrix in tests/test_decode_cache.py (token + log-prob equality vs the
+full-recompute decoders across img-layernorm/head-count/width/remat
+variants). ``quant_matmuls`` is NOT supported here (decode is
+latency-bound, not MXU-bound) and is rejected at prefill.
 """
 
 from __future__ import annotations
@@ -128,6 +137,10 @@ def prefill(params, cfg: BertImgConfig, od_ids: Array, od_seg: Array,
     (B, L, L) static block mask the full-recompute decoders take; context
     validity is its diagonal over positions >= max_seq_a.
     """
+    if getattr(cfg, "quant_matmuls", False):
+        raise NotImplementedError(
+            "decode_cache has no int8 path (decode is latency-bound, not "
+            "MXU-bound); run the cached decoders with a bf16/f32 config")
     bp = params["bert"]
     b, od_w = od_ids.shape
     r = img_feats.shape[1]

@@ -178,6 +178,88 @@ def load_nlvr_examples(path: str) -> List[NlvrExample]:
     return out
 
 
+@dataclasses.dataclass
+class VcrExample:
+    """One VCR multiple-choice item (4 candidate texts, one correct)."""
+
+    guid: str
+    text_a: str  # question (q->a) or question+chosen answer (qa->r)
+    choices: List[str]
+    img_key: str
+    q_id: int
+    label: Optional[int] = None
+    objects: Optional[list] = None
+
+
+def load_vcr_examples(path: str, task: str = "vcr_q_a",
+                      split: str = "train") -> List[VcrExample]:
+    """The reference's three VCR processors over its ``vcr_{split}.json``
+    layout (a JSON list of {q, choices, label, rational_choices,
+    rational_label, img_id, annot_id, objects?};
+    ref:oscar/utils/task_utils.py:273-414,567-575):
+
+      * ``vcr_q_a``:  question -> answer choices;
+      * ``vcr_qa_r``: question + gold answer -> rationale choices (needs
+        ``label`` present - the reference indexes choices[label]
+        unconditionally, ref:task_utils.py:355);
+      * ``vcr_qar``:  the q->a examples, plus (train only) the qa->r
+        examples appended (ref:task_utils.py:396-413).
+
+    ``label``/``rational_label`` come back None for test splits
+    (ref:task_utils.py:310).
+    """
+    if task not in ("vcr_q_a", "vcr_qa_r", "vcr_qar"):
+        raise ValueError(task)
+    with open(path) as f:
+        lines = json.load(f)
+    is_test = split.startswith("test")
+    out: List[VcrExample] = []
+    for i, line in enumerate(lines):
+        q_id = int(str(line["annot_id"]).split("-")[-1])
+        img_key = str(line["img_id"])
+        objects = line.get("objects")
+
+        def q_a(guid):
+            return VcrExample(guid, line["q"], list(line["choices"]), img_key,
+                              q_id, None if is_test else line["label"], objects)
+
+        def qa_r(guid):
+            return VcrExample(
+                guid, line["q"] + " " + line["choices"][line["label"]],
+                list(line["rational_choices"]), img_key, q_id,
+                None if is_test else line["rational_label"], objects)
+
+        if task == "vcr_q_a":
+            out.append(q_a(f"{split}-{i}"))
+        elif task == "vcr_qa_r":
+            out.append(qa_r(f"{split}-{i}"))
+        else:  # vcr_qar
+            out.append(q_a(f"{split}-{i}-q-a"))
+            if split == "train":
+                out.append(qa_r(f"{split}-{i}-qa-r"))
+    return out
+
+
+def convert_vcr_batch(examples: Sequence[VcrExample], tensorizer, get_image):
+    """-> (ids, mask, seg, feats) with a leading num_choices axis + labels,
+    the ImageBertForMultipleChoice input layout (each choice tensorized as
+    [CLS] text_a [SEP] choice [SEP] + regions, the reference's
+    text_a/text_b pairing for VCR; ref:task_utils.py:424-547)."""
+    out = {k: [] for k in ("ids", "mask", "seg", "feats")}
+    labels = []
+    for ex in examples:
+        feats = get_image(ex.img_key)
+        per_choice = [tensorizer.tensorize_joint(ex.text_a, choice, feats)
+                      for choice in ex.choices]
+        out["ids"].append(np.stack([c[0] for c in per_choice]))
+        out["mask"].append(np.stack([c[1] for c in per_choice]))
+        out["seg"].append(np.stack([c[2] for c in per_choice]))
+        out["feats"].append(np.stack([c[3] for c in per_choice]))
+        labels.append(ex.label if ex.label is not None else -1)
+    return (np.stack(out["ids"]), np.stack(out["mask"]), np.stack(out["seg"]),
+            np.stack(out["feats"]).astype(np.float32), np.asarray(labels, np.int64))
+
+
 def make_synthetic_task_data(root: str, n_images: int = 8, feat_dim: int = 32,
                              n_examples: int = 32, seed: int = 0) -> None:
     """Features + answer vocab + vqa/gqa/nlvr jsonl splits, on disk.
@@ -196,7 +278,7 @@ def make_synthetic_task_data(root: str, n_images: int = 8, feat_dim: int = 32,
         f.write("\n".join(answers))
 
     for split in ("train", "val", "test"):
-        vqa, gqa, nlvr = [], [], []
+        vqa, gqa, nlvr, vcr = [], [], [], []
         for i in range(n_examples):
             k = keys[int(rng.randint(len(keys)))]
             tags = (prov.get_od_labels(k) or "yes").split()
@@ -217,9 +299,24 @@ def make_synthetic_task_data(root: str, n_images: int = 8, feat_dim: int = 32,
             nlvr.append({"uid": f"{split}{i}",
                          "statement": f"the left image contains a {noun}",
                          "img_key_left": k, "img_key_right": k2, "label": label})
+            # VCR: the correct answer choice names the image's tag
+            wrong = [a for a in answers[2:] if a != ans][:3]
+            pos = int(rng.randint(4))
+            choices = [f"a {w}" for w in wrong]
+            choices.insert(pos, f"a {ans}")
+            r_pos = int(rng.randint(4))
+            r_choices = [f"because there is no {w}" for w in wrong]
+            r_choices.insert(r_pos, f"because a {ans} is visible")
+            vcr.append({"annot_id": f"{split.upper()}-{i}", "img_id": k,
+                        "q": "what is in the picture", "choices": choices,
+                        "label": pos, "rational_choices": r_choices,
+                        "rational_label": r_pos,
+                        "objects": tags})
         for task, rows in (("vqa", vqa), ("gqa", gqa), ("nlvr", nlvr)):
             with open(os.path.join(root, f"{task}_{split}.jsonl"), "w") as f:
                 f.write("\n".join(json.dumps(r) for r in rows))
+        with open(os.path.join(root, f"vcr_{split}.json"), "w") as f:
+            json.dump(vcr, f)
 
 
 def convert_nlvr_batch(examples: Sequence[NlvrExample], tensorizer, get_image, get_od_labels):

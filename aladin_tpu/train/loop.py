@@ -179,6 +179,12 @@ class Trainer:
 
         if "alignment" in self.cfg.training.loss_types:
             self.logger.info("Evaluating alignment head...")
+            # --compute_dtype int8 -> quantized alignment scoring in-loop too
+            # (same kernel mode as cli/test; rank parity test-locked)
+            scoring_dtype = (
+                jnp.int8 if getattr(self.args, "compute_dtype", "") == "int8"
+                else jnp.bfloat16
+            )
             score_fn = None
             if self.mesh is not None:
                 from aladin_tpu.parallel.mesh import sharded_mrsw_scores
@@ -188,12 +194,14 @@ class Trainer:
                         self.mesh, ims, caps, il, cl,
                         aggregation=self.cfg.training.alignment_mode,
                         use_pallas=self.use_pallas,
+                        compute_dtype=scoring_dtype,
                     )
 
             i2t, t2i, _ = evaluate_alignment_head(
                 img_embs, cap_embs, img_lens, cap_lens,
                 aggregation=self.cfg.training.alignment_mode,
                 use_pallas=self.use_pallas,
+                compute_dtype=scoring_dtype,
                 ndcg_scorer=self.ndcg_scorer,
                 score_fn=score_fn,
             )

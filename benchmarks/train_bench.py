@@ -34,6 +34,7 @@ from aladin_tpu.models.aladin import ALADIN
 from aladin_tpu.models.bert_img import BertImgConfig
 from aladin_tpu.train.state import create_train_state
 from aladin_tpu.train.step import make_train_step
+from aladin_tpu.utils.profiling import V5E_BF16_PEAK, train_step_model_flops
 from benchmarks.retrieval_eval_bench import synth_batch
 
 
@@ -76,9 +77,27 @@ def main() -> int:
             best = min(best, time.time() - t0 - 0.025)
         results[f"B{b}_ms"] = round(best * 1000, 1)
         results[f"B{b}_samples_per_s"] = round(b / best, 1)
+
+        # MFU: analytic model FLOPs (no remat recompute - the standard
+        # numerator) vs the v5e bf16 roofline; XLA's own cost analysis of
+        # the compiled step is reported alongside as a cross-check (it
+        # COUNTS remat recompute, so it upper-bounds the analytic number).
+        mf = train_step_model_flops(b)
+        tflops = mf / best / 1e12
+        results[f"B{b}_model_TFLOPs"] = round(tflops, 1)
+        results[f"B{b}_MFU_pct"] = round(100 * mf / best / V5E_BF16_PEAK, 1)
+        try:
+            ca = step.lower(state, batch, jnp.int32(0),
+                            jax.random.PRNGKey(2)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            if ca and "flops" in ca:
+                results[f"B{b}_xla_flops_ratio"] = round(float(ca["flops"]) / mf, 2)
+        except Exception:
+            pass  # cost analysis is advisory; not all backends expose it
         del state, params, step  # free HBM before the next size
 
-    results["config"] = "VinVL-base bf16, L=50/R=34, alignment+matching+distill, 1 chip"
+    results["config"] = ("VinVL-base bf16, L=50/R=34, alignment+matching+distill, "
+                         f"1 chip; MFU vs {V5E_BF16_PEAK/1e12:.0f} TFLOP/s bf16 peak")
     print(json.dumps(results))
     return 0
 

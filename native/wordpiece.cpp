@@ -163,7 +163,10 @@ int64_t aladin_wp_encode(void* h, const char* text, int64_t n, int32_t* out,
         continue;
       }
       if (c < 0x20 || c == 0x7F) continue;  // control: dropped
-      if (tok_len < sizeof(tok)) tok[tok_len++] = (char)c;
+      if (tok_len >= sizeof(tok)) return -1;  // pathological run: silently
+      // truncating would diverge from the Python tokenizer; decline instead
+      // ('exact match or decline' contract, ADVICE r2 #1)
+      tok[tok_len++] = (char)c;
     }
     (void)start;
     if (!tok_len) continue;

@@ -47,6 +47,52 @@ def test_fixture_and_loaders(task_root):
     assert prov.get_od_labels(vqa[0].img_key)
 
 
+def test_vcr_processors(task_root):
+    """The reference registry's three VCR processors (VERDICT r2 missing #4;
+    ref:oscar/utils/task_utils.py:273-414,567-575): loading semantics per
+    task, qar's train-only qa->r append, test-split label suppression, and
+    conversion to the 4-choice ImageBertForMultipleChoice layout."""
+    from aladin_tpu.data.dataset import DisentangledTensorizer
+    from aladin_tpu.data.tokenizer import BertWordPieceTokenizer
+    from aladin_tpu.tasks.task_inputs import convert_vcr_batch, load_vcr_examples
+
+    path = os.path.join(task_root, "vcr_train.json")
+    q_a = load_vcr_examples(path, "vcr_q_a", "train")
+    qa_r = load_vcr_examples(path, "vcr_qa_r", "train")
+    qar = load_vcr_examples(path, "vcr_qar", "train")
+    assert len(q_a) == 32 and len(qa_r) == 32
+    # qar = q->a plus the train-only qa->r examples (ref:task_utils.py:396-413)
+    assert len(qar) == 2 * 32
+    assert len(load_vcr_examples(path, "vcr_qar", "val")) == 32
+
+    ex = q_a[0]
+    assert len(ex.choices) == 4 and 0 <= ex.label < 4
+    assert ex.q_id == 0 and ex.objects  # annot_id suffix; objects carried
+    # qa->r prepends the GOLD answer text to the question
+    assert qa_r[0].text_a.startswith(ex.text_a)
+    assert ex.choices[ex.label] in qa_r[0].text_a
+    # test split: labels suppressed (ref:task_utils.py:310)
+    test_ex = load_vcr_examples(os.path.join(task_root, "vcr_test.json"),
+                                "vcr_q_a", "test")
+    assert all(e.label is None for e in test_ex)
+
+    vocab = {t: i for i, t in enumerate(
+        "[PAD] [UNK] [CLS] [SEP] [MASK] a what is in the picture because "
+        "there no visible dog cat car tree person boat bird house".split())}
+    tz = DisentangledTensorizer(BertWordPieceTokenizer(vocab),
+                                max_seq_len=20, max_img_seq_len=6,
+                                img_feature_dim=16)
+    prov = ImageFeatureProvider(os.path.join(task_root, "features.tsv"))
+    ids, mask, seg, feats, labels = convert_vcr_batch(q_a[:3], tz, prov.get_image)
+    assert ids.shape == (3, 4, 20) and feats.shape == (3, 4, 6, 16)
+    assert mask.shape == (3, 4, 26) and labels.shape == (3,)
+    # choice text differs across the 4 rows of each example
+    assert any((ids[0, 0] != ids[0, j]).any() for j in range(1, 4))
+    # the per-choice stream is [CLS] q [SEP] choice [SEP]: segment 1 marks
+    # the choice tokens
+    assert (seg[0] == 1).any()
+
+
 def test_vqa_score_semantics():
     import jax.numpy as jnp
 

