@@ -102,6 +102,7 @@ def evaluate_alignment_head(
     score_fn: Optional[Callable] = None,
     compute_dtype=None,
     interpret: Optional[bool] = None,
+    bucket_captions: Optional[bool] = None,
 ) -> Tuple[Dict[str, float], Dict[str, float], Array]:
     """Full alignment-head eval: (i2t metrics, t2i metrics, score matrix).
 
@@ -114,6 +115,12 @@ def evaluate_alignment_head(
     mode (the --compute_dtype int8 serving path); it forces the Pallas
     scorer, in interpret mode off-TPU, since only the kernel has an int8
     path. Default bf16.
+
+    ``bucket_captions``: length-bucket the caption axis for the kernel
+    (mrsw_scores_bucketed) - identical scores, far fewer padded-word FLOPs
+    when captions are much shorter than the buffer (real COCO). None =
+    auto: engage when the estimated saving is >= 25%. Applies to the local
+    Pallas path only (a mesh ``score_fn`` shards the unbucketed axis).
     """
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
@@ -133,10 +140,23 @@ def evaluate_alignment_head(
     if score_fn is not None:
         scores = score_fn(ims, caps, il, cl)
     elif aggregation == "MrSw" and use_pallas:
-        from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+        from aladin_tpu.ops.pallas.alignment_kernel import (
+            mrsw_scores_bucketed,
+            mrsw_scores_pallas,
+        )
 
-        scores = mrsw_scores_pallas(ims, caps, il, cl, interpret=interpret,
-                                    compute_dtype=compute_dtype)
+        if bucket_captions is None:
+            w = caps.shape[1]
+            cl_np = np.asarray(cap_lens)
+            mean_bucket = np.minimum(
+                np.ceil(np.maximum(cl_np, 4) / 16.0) * 16, w).mean()
+            bucket_captions = mean_bucket <= 0.75 * w
+        if bucket_captions:
+            scores = mrsw_scores_bucketed(ims, caps, il, cl, interpret=interpret,
+                                          compute_dtype=compute_dtype)
+        else:
+            scores = mrsw_scores_pallas(ims, caps, il, cl, interpret=interpret,
+                                        compute_dtype=compute_dtype)
     else:
         from aladin_tpu.ops.alignment import score_all_pairs
 

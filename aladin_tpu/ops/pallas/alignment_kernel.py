@@ -181,6 +181,69 @@ def mrsw_scores_pallas(
     return out * descale if descale is not None else out
 
 
+def mrsw_scores_bucketed(
+    im_set: Array,
+    s_seq: Array,
+    im_len: Array,
+    s_len: Array,
+    *,
+    bucket_multiple: int = 16,
+    min_bucket_frac: float = 0.04,
+    **kernel_kw,
+) -> Array:
+    """Caption-length-bucketed MrSw scoring: IDENTICAL scores, far fewer
+    padded-word FLOPs on real data.
+
+    The fixed-width kernel computes all W48 word lanes per caption; real
+    COCO captions average ~14 wordpieces against a 50-slot buffer, so
+    ~2/3 of the caption-axis MXU work multiplies zeros. Here captions are
+    grouped by ceil(len/16)*16 width, the kernel runs once per occupied
+    bucket on the column subset sliced to that width, and score columns
+    scatter back to corpus order. Parity is exact: a caption's tokens live
+    in positions [0, len) <= bucket width, and the kernel's masking already
+    zeroes everything past len (module docstring), so the dropped slots
+    contributed exactly 0 to every score. One compile per occupied bucket
+    width (at most W/16, in practice 2-3).
+
+    Buckets holding < min_bucket_frac of the corpus merge upward - a
+    sliver bucket costs a compile + a kernel launch but saves almost
+    nothing.
+
+    Host-side orchestration (numpy grouping, one pallas call per bucket) -
+    intended for the eval path, not for use inside jit.
+    """
+    s_len_np = np.asarray(s_len)
+    n_cap, w, _ = s_seq.shape
+    n_im = im_set.shape[0]
+    widths = np.minimum(
+        np.ceil(np.maximum(s_len_np, 4) / bucket_multiple).astype(np.int64)
+        * bucket_multiple, w,
+    )
+    uniq = np.sort(np.unique(widths))
+    # merge sliver buckets into the next wider one (the widest never merges)
+    counts = {int(u): int((widths == u).sum()) for u in uniq}
+    keep = [int(u) for u in uniq if counts[int(u)] >= min_bucket_frac * n_cap]
+    if not keep or keep[-1] != int(uniq[-1]):
+        keep.append(int(uniq[-1]))
+    for i, u in enumerate(widths):
+        widths[i] = next(k for k in keep if k >= u)
+
+    if len(keep) == 1 and keep[0] == w:
+        return mrsw_scores_pallas(im_set, s_seq, im_len, s_len, **kernel_kw)
+
+    out = jnp.zeros((n_im, n_cap), jnp.float32)
+    for width in keep:
+        idx = np.nonzero(widths == width)[0]
+        if idx.size == 0:
+            continue
+        didx = jnp.asarray(idx)
+        sub = jnp.take(s_seq, didx, axis=0)[:, :width]
+        sub_len = jnp.take(jnp.asarray(s_len), didx)
+        scores = mrsw_scores_pallas(im_set, sub, im_len, sub_len, **kernel_kw)
+        out = out.at[:, didx].set(scores)
+    return out
+
+
 def mrsw_scores_reference(im_set, s_seq, im_len, s_len) -> np.ndarray:
     """Slow trusted path (ops.alignment) for kernel validation."""
     from aladin_tpu.ops.alignment import alignment_scores

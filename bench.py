@@ -29,7 +29,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_pallas
+    from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_bucketed
     from aladin_tpu.ops.alignment import score_all_pairs
 
     on_tpu = jax.default_backend() == "tpu"
@@ -51,11 +51,16 @@ def main() -> None:
     float(il[0])  # force materialization (tunnel warmup)
 
     if on_tpu:
-        # Production serving path: int8 quantized scoring (394-TOPS MXU mode).
-        # Accuracy is test-backed: tests/test_eval.py::
-        # test_int8_scoring_rank_parity asserts R@1/5/10 deltas <= 0.1pp and
-        # >0.9999 score correlation vs f32 on a 200x1000 corpus.
-        f = lambda: mrsw_scores_pallas(im, ss, il, sl, compute_dtype=jnp.int8)  # noqa: E731
+        # Production serving path: int8 quantized scoring (394-TOPS MXU mode)
+        # with caption-length bucketing (identical scores, skips padded-word
+        # lanes; eval/retrieval auto-engages it the same way). Accuracy is
+        # test-backed: tests/test_eval.py::test_int8_scoring_rank_parity
+        # asserts R@1/5/10 deltas <= 0.1pp and >0.9999 score correlation vs
+        # f32; test_bucketed_scoring_exact_parity locks bucketing = exact.
+        # Lengths stay uniform 4..50 (the series' workload definition);
+        # the realistic COCO mix (mean ~14) runs faster still - 203M pairs/s
+        # measured (see README).
+        f = lambda: mrsw_scores_bucketed(im, ss, il, sl, compute_dtype=jnp.int8)  # noqa: E731
     else:
         f = lambda: score_all_pairs(im, ss, il, sl, "MrSw", 100)  # noqa: E731
 
@@ -72,7 +77,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "alignment_head_all_pairs_scoring (5k x 25k COCO test, MrSw int8, 1 chip)"
+                "metric": "alignment_head_all_pairs_scoring (5k x 25k COCO test, MrSw int8 bucketed, 1 chip)"
                 if on_tpu
                 else "alignment_head_all_pairs_scoring (CPU fallback, tiny)",
                 "value": round(pairs_per_s / 1e6, 2),

@@ -7,8 +7,10 @@ device-generated batches at the reference geometry (50 text tokens, 34
 regions, 2054-d features; ref:alad/train.py:388-471 training regime).
 
 Batch-size knobs map to the memory features that unlock them:
-  B <= 128: plain; B 256-512: remat + alignment-chunk; B >= 1024:
-  encoder-microbatch (checkpointed encoder scan, full-batch loss).
+  B <= 384: plain (remat measured 22% SLOWER at B=256 - it is a memory
+  feature, not a speed feature); B = 512: remat + alignment-chunk 128
+  (OOMs without); B >= 1024: encoder-microbatch (checkpointed encoder
+  scan, full-batch loss).
 
     python benchmarks/train_bench.py [--batches 32,128,512]
 
@@ -42,7 +44,7 @@ def config_for(b: int) -> dict:
     training = {"loss-type": "alignment-distillation", "loss-weights": [1, 1],
                 "lr": 1e-5, "bs": b}
     model = {"embed-size": 768, "tern-layers": 2}
-    if b >= 256:
+    if b >= 512:
         training["alignment-chunk"] = 128
     if b >= 1024:
         training["encoder-microbatch"] = 256
@@ -59,7 +61,7 @@ def main() -> int:
     for b in (int(x) for x in ns.batches.split(",")):
         d = config_for(b)
         cfg = ExperimentConfig.from_dict(d)
-        bert_cfg = BertImgConfig(remat=b >= 256)
+        bert_cfg = BertImgConfig(remat=b >= 512)
         model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
         batch = synth_batch(jax.random.PRNGKey(0), b, 50, 34,
                             bert_cfg.img_feature_dim, bert_cfg.vocab_size)

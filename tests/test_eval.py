@@ -223,3 +223,75 @@ def test_pallas_kernel_interpret_parity(rng):
         interpret=True, compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_bucketed_scoring_exact_parity(rng):
+    """mrsw_scores_bucketed must produce EXACTLY the unbucketed kernel's
+    scores (f32): bucket slicing only drops word slots the masking already
+    zeroed. Realistic length mix: most captions far shorter than the
+    buffer, a few at full width, edge lengths 4 and w."""
+    from aladin_tpu.ops.pallas.alignment_kernel import (
+        mrsw_scores_bucketed,
+        mrsw_scores_pallas,
+    )
+
+    n_im, n_cap, r, w, d = 6, 37, 7, 50, 16
+    im = rng.randn(n_im, r, d).astype(np.float32)
+    ss = rng.randn(n_cap, w, d).astype(np.float32)
+    il = rng.randint(2, r + 1, n_im).astype(np.int32)
+    # COCO-like: mostly 10-18, some long, plus both edges
+    sl = rng.choice([10, 12, 14, 16, 18, 30, w], n_cap,
+                    p=[0.2, 0.2, 0.2, 0.15, 0.1, 0.1, 0.05]).astype(np.int32)
+    sl[0], sl[1] = 4, w
+
+    args = (jnp.array(im), jnp.array(ss), jnp.array(il), jnp.array(sl))
+    base = np.asarray(mrsw_scores_pallas(*args, interpret=True,
+                                         compute_dtype=jnp.float32))
+    buck = np.asarray(mrsw_scores_bucketed(*args, interpret=True,
+                                           compute_dtype=jnp.float32))
+    np.testing.assert_allclose(buck, base, atol=1e-5)
+    # trusted-path agreement too
+    ref = np.asarray(alignment_scores(*args))
+    np.testing.assert_allclose(buck, ref, atol=1e-4)
+
+    # sliver merging: a lone width-16 caption merges into a wider bucket
+    sl2 = np.full(n_cap, 48, np.int32)
+    sl2[0] = 5
+    args2 = (jnp.array(im), jnp.array(ss), jnp.array(il), jnp.array(sl2))
+    b2 = np.asarray(mrsw_scores_bucketed(*args2, interpret=True,
+                                         compute_dtype=jnp.float32))
+    p2 = np.asarray(mrsw_scores_pallas(*args2, interpret=True,
+                                       compute_dtype=jnp.float32))
+    np.testing.assert_allclose(b2, p2, atol=1e-5)
+
+
+def test_bucketed_scoring_through_eval_head(rng):
+    """Auto-bucketing inside evaluate_alignment_head: engages on a
+    short-caption corpus and returns identical ranks to the forced-off
+    path; int8 bucketing preserves R@K."""
+    from aladin_tpu.eval.retrieval import evaluate_alignment_head
+
+    n_im, k, r, w, d = 6, 5, 6, 50, 16
+    base = rng.randn(n_im, r, d)
+    sets = np.repeat(base, k, axis=0).astype(np.float32)
+    # captions correlated with their image's regions so ranks are decisive
+    # (a fully random corpus has coin-flip ranks that int8 rounding can
+    # legitimately flip)
+    caps = 0.35 * rng.randn(n_im * k, w, d).astype(np.float32)
+    caps += np.repeat(base[:, :1, :], k, axis=0)  # broadcast region 0 signal
+    il = np.full(n_im * k, r, np.int32)
+    cl = rng.randint(8, 18, n_im * k).astype(np.int32)  # short: auto engages
+
+    auto = evaluate_alignment_head(sets, caps, il, cl, use_pallas=True,
+                                   interpret=True, compute_dtype=jnp.float32)
+    off = evaluate_alignment_head(sets, caps, il, cl, use_pallas=True,
+                                  interpret=True, compute_dtype=jnp.float32,
+                                  bucket_captions=False)
+    np.testing.assert_allclose(np.asarray(auto[2]), np.asarray(off[2]), atol=1e-5)
+    assert auto[0] == off[0] and auto[1] == off[1]
+
+    q = evaluate_alignment_head(sets, caps, il, cl, use_pallas=True,
+                                interpret=True, compute_dtype=jnp.int8)
+    for a, b in zip((auto[0], auto[1]), (q[0], q[1])):
+        for key in ("r1", "r5", "r10"):
+            assert abs(a[key] - b[key]) <= 2.6, (key, a[key], b[key])
