@@ -116,11 +116,11 @@ def evaluate_alignment_head(
     scorer, in interpret mode off-TPU, since only the kernel has an int8
     path. Default bf16.
 
-    ``bucket_captions``: length-bucket the caption axis for the kernel
+    ``bucket_captions``: length-bucket the caption axis
     (mrsw_scores_bucketed) - identical scores, far fewer padded-word FLOPs
     when captions are much shorter than the buffer (real COCO). None =
     auto: engage when the estimated saving is >= 25%. Applies to the local
-    Pallas path only (a mesh ``score_fn`` shards the unbucketed axis).
+    Pallas path AND a mesh ``score_fn`` (each bucket scored sharded).
     """
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
@@ -137,20 +137,26 @@ def evaluate_alignment_head(
     caps = jnp.asarray(cap_seqs)
     cl = jnp.asarray(cap_lens)
 
+    if bucket_captions is None:
+        w = caps.shape[1]
+        cl_np = np.asarray(cap_lens)
+        mean_bucket = np.minimum(
+            np.ceil(np.maximum(cl_np, 4) / 16.0) * 16, w).mean()
+        bucket_captions = mean_bucket <= 0.75 * w
+
     if score_fn is not None:
-        scores = score_fn(ims, caps, il, cl)
+        if bucket_captions:
+            from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_bucketed
+
+            scores = mrsw_scores_bucketed(ims, caps, il, cl, scorer=score_fn)
+        else:
+            scores = score_fn(ims, caps, il, cl)
     elif aggregation == "MrSw" and use_pallas:
         from aladin_tpu.ops.pallas.alignment_kernel import (
             mrsw_scores_bucketed,
             mrsw_scores_pallas,
         )
 
-        if bucket_captions is None:
-            w = caps.shape[1]
-            cl_np = np.asarray(cap_lens)
-            mean_bucket = np.minimum(
-                np.ceil(np.maximum(cl_np, 4) / 16.0) * 16, w).mean()
-            bucket_captions = mean_bucket <= 0.75 * w
         if bucket_captions:
             scores = mrsw_scores_bucketed(ims, caps, il, cl, interpret=interpret,
                                           compute_dtype=compute_dtype)

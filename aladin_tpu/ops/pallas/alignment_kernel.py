@@ -189,6 +189,7 @@ def mrsw_scores_bucketed(
     *,
     bucket_multiple: int = 16,
     min_bucket_frac: float = 0.04,
+    scorer=None,
     **kernel_kw,
 ) -> Array:
     """Caption-length-bucketed MrSw scoring: IDENTICAL scores, far fewer
@@ -211,6 +212,11 @@ def mrsw_scores_bucketed(
 
     Host-side orchestration (numpy grouping, one pallas call per bucket) -
     intended for the eval path, not for use inside jit.
+
+    ``scorer`` overrides the per-bucket scoring callable
+    ((ims, caps_subset, im_len, s_len_subset) -> (N_im, n_bucket) scores) -
+    e.g. a mesh-sharded scorer (parallel.mesh.sharded_mrsw_scores); default
+    is the local Pallas kernel with ``kernel_kw``.
     """
     s_len_np = np.asarray(s_len)
     n_cap, w, _ = s_seq.shape
@@ -228,8 +234,10 @@ def mrsw_scores_bucketed(
     for i, u in enumerate(widths):
         widths[i] = next(k for k in keep if k >= u)
 
+    if scorer is None:
+        scorer = functools.partial(mrsw_scores_pallas, **kernel_kw)
     if len(keep) == 1 and keep[0] == w:
-        return mrsw_scores_pallas(im_set, s_seq, im_len, s_len, **kernel_kw)
+        return scorer(im_set, s_seq, im_len, s_len)
 
     out = jnp.zeros((n_im, n_cap), jnp.float32)
     for width in keep:
@@ -239,8 +247,8 @@ def mrsw_scores_bucketed(
         didx = jnp.asarray(idx)
         sub = jnp.take(s_seq, didx, axis=0)[:, :width]
         sub_len = jnp.take(jnp.asarray(s_len), didx)
-        scores = mrsw_scores_pallas(im_set, sub, im_len, sub_len, **kernel_kw)
-        out = out.at[:, didx].set(scores)
+        scores = scorer(im_set, sub, im_len, sub_len)
+        out = out.at[:, didx].set(jnp.asarray(scores, jnp.float32))
     return out
 
 

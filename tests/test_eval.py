@@ -295,3 +295,30 @@ def test_bucketed_scoring_through_eval_head(rng):
     for a, b in zip((auto[0], auto[1]), (q[0], q[1])):
         for key in ("r1", "r5", "r10"):
             assert abs(a[key] - b[key]) <= 2.6, (key, a[key], b[key])
+
+
+def test_bucketed_scoring_under_mesh(rng):
+    """Length bucketing composes with the mesh-sharded scorer: each bucket
+    scored under shard_map, columns scattered back - matches the dense
+    scorer exactly."""
+    from aladin_tpu.ops.pallas.alignment_kernel import mrsw_scores_bucketed
+    from aladin_tpu.parallel.mesh import create_mesh, sharded_mrsw_scores
+
+    mesh = create_mesh("dp=-1")
+    n, m, r, w, d = 6, 40, 6, 24, 16
+    ims = rng.randn(n, r, d).astype(np.float32)
+    caps = rng.randn(m, w, d).astype(np.float32)
+    il = rng.randint(3, r + 1, n).astype(np.int32)
+    sl = rng.choice([8, 10, 14, w], m).astype(np.int32)
+
+    def scorer(a, b, c, e):
+        return sharded_mrsw_scores(mesh, a, b, c, e, use_pallas=True,
+                                   interpret=True, compute_dtype=jnp.float32,
+                                   small_corpus_fallback=False)
+
+    got = mrsw_scores_bucketed(jnp.array(ims), jnp.array(caps),
+                               jnp.array(il), jnp.array(sl), scorer=scorer)
+    ref = alignment_scores(jnp.array(ims), jnp.array(caps),
+                           jnp.array(il), jnp.array(sl))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
