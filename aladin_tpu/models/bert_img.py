@@ -64,9 +64,10 @@ class BertImgConfig:
     # TPU-native: rematerialize encoder layers in the backward pass (trade
     # FLOPs for HBM - enables much larger batches on one chip)
     remat: bool = False
-    # TPU-native: run the encoder's projection matmuls (QKV, attention out,
-    # MLP) as W8A8 dynamic int8 on the double-rate MXU mode — eval/serving
-    # only (models/quant.py; same param pytree, checkpoints load unchanged)
+    # TPU-native: run the encoder's fused QKV and FFN-up projections as
+    # W8A8 dynamic int8 on the double-rate MXU mode — eval/serving only
+    # (models/quant.py; same param pytree, checkpoints load unchanged).
+    # attention-out / FFN-down stay bf16 (chip-measured: int8 loses there).
     quant_matmuls: bool = False
 
     @classmethod
@@ -92,6 +93,25 @@ def _proj_cls(cfg: BertImgConfig):
     return nn.Dense
 
 
+class _ProjParams(nn.Module):
+    """Declares an nn.Dense-identical (kernel, bias) param pair WITHOUT
+    computing - lets the quant path fuse several projections into one
+    GEMM (e.g. QKV) while the checkpoint param tree stays bit-identical
+    to the bf16 model's."""
+
+    features: int
+    d_in: int
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.d_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class BertSelfAttention(nn.Module):
     """Multi-head self-attention with additive bias; optionally returns probs."""
 
@@ -102,12 +122,36 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
-        dense = lambda name: _proj_cls(cfg)(  # noqa: E731
-            cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name=name
-        )
-        q = dense("query")(x).reshape(*x.shape[:-1], h, d)
-        k = dense("key")(x).reshape(*x.shape[:-1], h, d)
-        v = dense("value")(x).reshape(*x.shape[:-1], h, d)
+        if cfg.quant_matmuls:
+            # Fused QKV: one W8A8 GEMM over the concatenated kernels. The
+            # in-kernel per-row activation quantization is serial VPU work
+            # (~1.4us per 256-row tile on v5e) - paying it once for all
+            # three projections instead of three times is what makes int8
+            # QKV beat three bf16 dots. Param tree unchanged (query/key/
+            # value declared separately, concatenated at trace time -
+            # loop-invariant, so XLA hoists the concat+quantize out of
+            # encode scans).
+            from aladin_tpu.models.quant import w8a8_apply
+
+            parts = [
+                _ProjParams(cfg.hidden_size, cfg.hidden_size, _dense_init(cfg),
+                            name=nm)()
+                for nm in ("query", "key", "value")
+            ]
+            wcat = jnp.concatenate([p[0] for p in parts], axis=1)
+            bcat = jnp.concatenate([p[1] for p in parts])
+            qkv = w8a8_apply(x, wcat, bcat, out_dtype=self.dtype)
+            q, k, v = (
+                a.reshape(*x.shape[:-1], h, d) for a in jnp.split(qkv, 3, axis=-1)
+            )
+        else:
+            dense = lambda name: nn.Dense(  # noqa: E731
+                cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
+                name=name
+            )
+            q = dense("query")(x).reshape(*x.shape[:-1], h, d)
+            k = dense("key")(x).reshape(*x.shape[:-1], h, d)
+            v = dense("value")(x).reshape(*x.shape[:-1], h, d)
         # scores: (B, H, Q, K)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(d, jnp.float32))
@@ -133,18 +177,29 @@ class BertLayer(nn.Module):
         ctx, probs = BertSelfAttention(cfg, self.dtype, name="attention")(
             x, bias, deterministic
         )
-        attn_out = _proj_cls(cfg)(
+        # attention_output and the FFN down-projection stay bf16 even in
+        # quant mode: chip-measured, int8 LOSES there (N=768 GEMMs are too
+        # small to amortize the in-kernel quantize, and the 3072-wide
+        # FFN-down input makes its quantize pass dominate the dot). The
+        # int8 wins are QKV (fused, one quantize) and FFN-up (+gelu
+        # epilogue); fewer quantization points also means higher fidelity.
+        attn_out = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="attention_output"
         )(ctx)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm")(
             x + attn_out
         )
+        # exact erf gelu, BERT-era; on the quant path it rides the GEMM
+        # kernel's fused epilogue instead of a separate HBM pass
+        inter_kw = {"activation": "gelu"} if cfg.quant_matmuls else {}
         inter = _proj_cls(cfg)(
-            cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="intermediate"
+            cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
+            name="intermediate", **inter_kw
         )(x)
-        inter = jax.nn.gelu(inter, approximate=False)  # exact erf gelu, BERT-era
-        out = _proj_cls(cfg)(
+        if not cfg.quant_matmuls:
+            inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="output"
         )(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
