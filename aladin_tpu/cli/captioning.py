@@ -39,6 +39,7 @@ from aladin_tpu.tasks.captioning import (
 )
 from aladin_tpu.tasks.task_inputs import ImageFeatureProvider
 from aladin_tpu.utils.logging import setup_logger
+from aladin_tpu.utils.rng import make_training_key
 
 
 def gather_masked(logits, masked_idx):
@@ -226,7 +227,7 @@ def main(argv=None) -> int:
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    key = jax.random.PRNGKey(ns.seed)
+    key = make_training_key(ns.seed)  # rbg on TPU (utils/rng.py)
     for epoch in range(ns.epochs):
         t0, losses = time.time(), []
         order = rng.permutation(len(items))

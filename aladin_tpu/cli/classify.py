@@ -52,6 +52,7 @@ from aladin_tpu.tasks.task_inputs import (
     make_synthetic_task_data,
 )
 from aladin_tpu.utils.logging import setup_logger
+from aladin_tpu.utils.rng import make_training_key
 
 
 def _batches(n, bs, rng=None, drop_last=True):
@@ -155,7 +156,7 @@ def main(argv=None) -> int:
 
     loss_type = ns.loss_type if ns.task == "vqa" else "ce"
     rng = np.random.RandomState(ns.seed)
-    key = jax.random.PRNGKey(ns.seed)
+    key = make_training_key(ns.seed)  # rbg on TPU (utils/rng.py)
     b0 = convert([train[i] for i in range(min(ns.train_batch_size, len(train)))])
 
     if ns.task == "nlvr":

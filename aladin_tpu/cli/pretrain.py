@@ -29,6 +29,7 @@ from aladin_tpu.parallel import distributed
 from aladin_tpu.tasks.pretrain_data import PretrainCorpus, make_synthetic_pretrain_corpus
 from aladin_tpu.tasks.pretraining import BertImgForPreTraining, make_pretrain_step
 from aladin_tpu.utils.logging import setup_logger
+from aladin_tpu.utils.rng import make_training_key
 
 
 def warmup_linear_schedule(lr: float, warmup_steps: int, t_total: int):
@@ -165,7 +166,7 @@ def main(argv=None) -> int:
         from aladin_tpu.utils.metric_logger import TensorboardLogger
 
         tb = TensorboardLogger(os.path.join(ns.output_dir, "tb"))
-    key = jax.random.PRNGKey(ns.seed)
+    key = make_training_key(ns.seed)  # rbg on TPU (utils/rng.py)
     pending, t0 = [], time.time()
     for it in range(ns.max_iters):
         idx = rng.randint(len(corpus), size=ns.train_batch_size)

@@ -26,6 +26,7 @@ from aladin_tpu.data.dataset import RetrievalDataset
 from aladin_tpu.models.bert_img import BertImgConfig, ImageBertClassifier
 from aladin_tpu.tasks.retrieval_oscar import evaluate_cross, make_pair_train_step, sample_pairs
 from aladin_tpu.utils.logging import setup_logger
+from aladin_tpu.utils.rng import make_training_key
 
 
 def main(argv=None) -> int:
@@ -95,7 +96,7 @@ def main(argv=None) -> int:
     params, opt_state, put = setup_dp_mesh(ns.mesh_shape, 2 * bs, params,
                                            opt_state, logger)
 
-    key = jax.random.PRNGKey(ns.seed)
+    key = make_training_key(ns.seed)  # rbg on TPU (utils/rng.py)
     for epoch in range(ns.epochs):
         t0, metrics = time.time(), []
         order = rng.permutation(len(train_ds))

@@ -98,6 +98,10 @@ class TrainingConfig:
     # (loss still sees the full batch); 0 = one big forward. Unlocks B >= 1024
     # on one chip (train/step.py encode_microbatched).
     encoder_microbatch: int = 0
+    # TPU-native: PRNG used for dropout masks — 'auto' = hardware 'rbg' on
+    # TPU (threefry mask generation is ~24% of the B=128 step), 'threefry'
+    # elsewhere / for bitwise cross-topology reproducibility (utils/rng.py)
+    rng_impl: str = "auto"
     margin: float = 0.2
     bs: int = 32
     scheduler: Optional[str] = "steplr"  # 'steplr' | None
@@ -127,6 +131,7 @@ class TrainingConfig:
             measure=_get(d, "measure", "dot"),
             alignment_chunk=int(_get(d, "alignment-chunk", 0)),
             encoder_microbatch=int(_get(d, "encoder-microbatch", 0)),
+            rng_impl=_get(d, "rng-impl", "auto"),
             margin=float(_get(d, "margin", 0.2)),
             bs=int(_get(d, "bs", 32)),
             scheduler=_get(d, "scheduler", "steplr"),
@@ -211,6 +216,7 @@ class ExperimentConfig:
                 "measure": self.training.measure,
                 "alignment-chunk": self.training.alignment_chunk,
                 "encoder-microbatch": self.training.encoder_microbatch,
+                "rng-impl": self.training.rng_impl,
                 "margin": self.training.margin,
                 "bs": self.training.bs,
                 "scheduler": self.training.scheduler,
