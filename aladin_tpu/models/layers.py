@@ -133,13 +133,22 @@ class DepthAggregator(nn.Module):
                 x.dtype
             )
         if self.aggr == "transformer":
-            # The reference constructs a depth transformer for this mode but
-            # its aggregator forward never handles it -> UnboundLocalError
-            # (latent defect, ref:alad/utils.py:15-49 vs alad_model.py:97-99).
-            raise NotImplementedError(
-                "depth-aggregation 'transformer' is a latent crash in the "
-                "reference; no shipped or old config uses it"
-            )
+            # The reference constructs a 1-layer depth transformer for this
+            # mode (nn.TransformerEncoderLayer(d_model=hidden, nhead=4,
+            # dim_feedforward=hidden), ref:alad_model.py:97-99) but its
+            # aggregator forward never handles it -> UnboundLocalError
+            # (latent defect, ref:alad/utils.py:15-49). Completed here with
+            # the evident intent: per (sample, token), the depth axis is the
+            # sequence a 1-layer TE attends over; the LAST depth position's
+            # output is the aggregate (the analogue of aggr=None taking
+            # x[-1], now context-mixed across depth).
+            depth, b, s, dim = x.shape
+            seq = x.transpose(1, 2, 0, 3).reshape(b * s, depth, dim)
+            out = TorchTransformerEncoder(
+                1, self.input_dim, nhead=4, dim_feedforward=self.input_dim,
+                dtype=self.dtype, name="depth_transformer",
+            )(seq, None, deterministic)
+            return out[:, -1, :].reshape(b, s, dim)
         raise ValueError(f"unknown depth aggregation {self.aggr!r}")
 
 

@@ -1,0 +1,163 @@
+"""Per-query retrieval latency vs the reference's headline numbers.
+
+The reference's efficiency claim is per-query latency on a 1k-image COCO
+fold (ref:alad/plots/plot_efficiency_vs_effectiveness.py:12-15): 0.023 s
+per query for the matching head (global dot products + sort) and 0.098 s
+for the alignment head (full region-word scoring), on the paper's GPU.
+This bench measures the TPU-native counterparts over the same corpus
+geometry (1k images / 5k captions, VinVL-base widths 84/50, D=768):
+
+  * ``matching``      — stage 1 only: dot + top-k (vs 0.023 s baseline);
+  * ``two_stage``     — matching shortlist=100 + alignment rerank (the
+                        paper's implied deployment mode; between the two
+                        baseline points in quality, faster than both);
+  * ``full_alignment``— alignment scoring of the query against the WHOLE
+                        corpus (vs 0.098 s baseline).
+
+Serial latency is measured honestly: K single-query searches run one
+after another inside one jitted ``lax.scan`` (each step consumes the
+previous step's result as a data dependency — no cross-query batching is
+possible), timed with one scalar fetch minus the ~25 ms axon tunnel RT.
+Batched throughput (all 5k captions as one program) is reported alongside.
+
+    python benchmarks/query_latency_bench.py [--n_images 1000] [--serial 64]
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aladin_tpu.eval.search import build_corpus, search
+from aladin_tpu.ops.alignment import alignment_scores
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_images", type=int, default=1000)
+    p.add_argument("--caps_per_image", type=int, default=5)
+    p.add_argument("--s_img", type=int, default=84, help="image token-set width")
+    p.add_argument("--s_cap", type=int, default=50, help="caption buffer width")
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--shortlist", type=int, default=100)
+    p.add_argument("--serial", type=int, default=64,
+                   help="queries per serial-latency scan")
+    ns = p.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    rt = 0.025 if on_tpu else 0.0  # axon tunnel round trip
+    n_im, n_cap = ns.n_images, ns.n_images * ns.caps_per_image
+
+    # synthetic corpus, generated on device (axon host uploads crawl)
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 4)
+    img = jax.random.normal(k0, (n_im, ns.s_img, ns.dim), jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    cap = jax.random.normal(k1, (n_cap, ns.s_cap, ns.dim), jnp.float32)
+    cap = cap / jnp.linalg.norm(cap, axis=-1, keepdims=True)
+    img_len = jax.random.randint(k2, (n_im,), 20, ns.s_img + 1, jnp.int32)
+    cap_len = jax.random.randint(k3, (n_cap,), 8, ns.s_cap + 1, jnp.int32)
+    corpus = build_corpus(img, img_len)  # t2i: caption queries vs image corpus
+    float(corpus.lengths[0])
+
+    queries, q_lens = cap, cap_len
+
+    # ---- serial per-query latency: chained single-query searches ---------
+    def serial_scan(mode):
+        @jax.jit
+        def run(qs, ql):
+            def matching(q, l):
+                sims = q[0] @ corpus.globals.T
+                return jax.lax.top_k(sims, 10)
+
+            def two_stage(q, l):
+                sims = q[0] @ corpus.globals.T
+                _, short = jax.lax.top_k(sims, ns.shortlist)
+                cands = jnp.take(corpus.token_sets, short, axis=0)
+                clens = jnp.take(corpus.lengths, short)
+                a = alignment_scores(
+                    cands, q[None], clens, l[None], "MrSw", normalized=True
+                )[:, 0]
+                s, pos = jax.lax.top_k(a, 10)
+                return s, jnp.take(short, pos)
+
+            def full_alignment(q, l):
+                a = alignment_scores(
+                    corpus.token_sets, q[None], corpus.lengths, l[None],
+                    "MrSw", normalized=True,
+                )[:, 0]
+                return jax.lax.top_k(a, 10)
+
+            fn = {"matching": matching, "two_stage": two_stage,
+                  "full_alignment": full_alignment}[mode]
+
+            def body(carry, x):
+                q, l = x
+                # data-depend on the previous result so steps cannot overlap
+                s, idx = fn(q + carry * 0.0, l)
+                return s[0], idx[0]
+
+            _, tops = jax.lax.scan(body, jnp.float32(0), (qs, ql))
+            return tops
+
+        return run
+
+    results = {}
+    qs = queries[: ns.serial].astype(jnp.float32)
+    ql = q_lens[: ns.serial]
+    for mode in ("matching", "two_stage", "full_alignment"):
+        run = serial_scan(mode)
+        int(run(qs, ql)[-1])  # compile + warm tunnel AND the fetch plan
+        best = float("inf")
+        for _ in range(3):  # min-of-3: the first post-compile execution can
+            t0 = time.time()  # carry one-time relay overhead (~0.35 s)
+            int(run(qs, ql)[-1])
+            best = min(best, max(time.time() - t0 - rt, 1e-9))
+        results[f"{mode}_serial_s_per_query"] = best / ns.serial
+
+    # ---- batched throughput: all captions in one program ------------------
+    for mode, kw in (
+        # matching gathers nothing -> all queries in ONE program; rerank
+        # chunks to bound the (chunk, shortlist, S, D) candidate gather
+        ("matching", dict(rerank=False, query_chunk=None)),
+        ("two_stage", dict(rerank=True, shortlist=ns.shortlist, query_chunk=64)),
+    ):
+        search(corpus, queries[: 64 if mode == "two_stage" else n_cap],
+               q_lens[: 64 if mode == "two_stage" else n_cap],
+               direction="t2i", k=10, **kw)  # compile
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            s, _ = search(corpus, queries, q_lens, direction="t2i", k=10, **kw)
+            dt = min(dt, max(time.time() - t0 - rt, 1e-9))
+        results[f"{mode}_batched_s_per_query"] = dt / n_cap
+        results[f"{mode}_batched_qps"] = n_cap / dt
+
+    base_match, base_align = 0.023, 0.098  # ref plot_efficiency_vs_effectiveness.py:13
+    results["vs_ref_matching_serial_x"] = base_match / results[
+        "matching_serial_s_per_query"]
+    results["vs_ref_alignment_serial_x"] = base_align / results[
+        "full_alignment_serial_s_per_query"]
+    results["config"] = (
+        f"{n_im} images x {n_cap} captions (1k-fold protocol), widths "
+        f"{ns.s_img}/{ns.s_cap}, D={ns.dim}, t2i, shortlist={ns.shortlist}, "
+        f"{'1 TPU chip' if on_tpu else 'CPU'}"
+    )
+    print(json.dumps({k: (round(v, 8) if isinstance(v, float) else v)
+                      for k, v in results.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

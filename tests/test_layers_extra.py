@@ -112,11 +112,20 @@ def test_adamw_decay_mask(rng):
     assert np.abs(np.asarray(updates["layernorm"]["scale"])).max() == 0
 
 
-def test_depth_transformer_mode_raises(rng):
+def test_depth_transformer_mode(rng):
+    """'transformer' depth aggregation is a latent UnboundLocalError in the
+    reference (constructed ref:alad_model.py:97-99, never handled in
+    ref:alad/utils.py:15-49); our completion must run and mix across depth."""
     from aladin_tpu.models.layers import DepthAggregator
 
     m = DepthAggregator("transformer", 8)
-    x = jnp.zeros((2, 2, 3, 8))
+    x = jnp.asarray(rng.standard_normal((4, 2, 3, 8)), jnp.float32)
     pad = jnp.zeros((2, 3), bool)
-    with pytest.raises(NotImplementedError):
-        m.init(jax.random.PRNGKey(0), x, pad)
+    params = m.init(jax.random.PRNGKey(0), x, pad)
+    out = m.apply(params, x, pad)
+    assert out.shape == (2, 3, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # depends on non-final depth layers (really aggregates, not x[-1])
+    x2 = x.at[0].add(1.0)
+    out2 = m.apply(params, x2, pad)
+    assert np.abs(np.asarray(out2 - out)).max() > 1e-4

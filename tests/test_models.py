@@ -260,6 +260,7 @@ def test_aladin_padding_invariance(rng):
         {"depth-aggregation-matching": "gated"},
         {"depth-aggregation-alignment": "mean"},
         {"depth-aggregation-matching": "mean", "post-layers": 1},
+        {"depth-aggregation-matching": "transformer"},
     ],
 )
 def test_aladin_variants_run(rng, over):

@@ -1,0 +1,118 @@
+"""Two-stage search (eval/search.py): exactness and approximation contracts.
+
+The composed serve-time pipeline has no reference code to oracle against
+(it exists in the reference only as the paper's latency plot,
+ref:alad/plots/plot_efficiency_vs_effectiveness.py:12-15), so the locks are
+internal: stage 1 must equal brute-force global ranking, and the two-stage
+result with shortlist >= N must equal brute-force ALIGNMENT ranking (the
+rerank path reuses ops/alignment.alignment_scores, which is itself
+torch-oracle-tested in test_losses.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aladin_tpu.eval.search import build_corpus, search
+from aladin_tpu.ops.alignment import alignment_scores
+
+
+def _fake_buffers(rng, n, s, d):
+    """(N, S, D) encode-style buffers: unit-norm tokens, slot-0 global."""
+    embs = rng.standard_normal((n, s, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    lens = rng.integers(5, s + 1, size=n).astype(np.int32)
+    return embs, lens
+
+
+@pytest.fixture(scope="module")
+def corpus_data():
+    rng = np.random.default_rng(0)
+    img_embs, img_lens = _fake_buffers(rng, 24, 9, 16)   # images: 8 regions + slot0
+    cap_embs, cap_lens = _fake_buffers(rng, 60, 12, 16)  # captions
+    return img_embs, img_lens, cap_embs, cap_lens
+
+
+def _full_alignment(img_embs, img_lens, cap_embs, cap_lens):
+    return np.asarray(
+        alignment_scores(
+            jnp.asarray(img_embs), jnp.asarray(cap_embs),
+            jnp.asarray(img_lens), jnp.asarray(cap_lens), "MrSw",
+        )
+    )
+
+
+def test_matching_only_equals_bruteforce(corpus_data):
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    corpus = build_corpus(cap_embs, cap_lens)
+    scores, idx = search(
+        corpus, img_embs, img_lens, direction="i2t", k=7, rerank=False
+    )
+    full = img_embs[:, 0] @ cap_embs[:, 0].T
+    want = np.argsort(-full, axis=1)[:, :7]
+    np.testing.assert_array_equal(idx, want)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(full, want, axis=1), rtol=0, atol=2e-3
+    )
+
+
+def test_two_stage_exact_when_shortlist_covers_corpus(corpus_data):
+    """Algorithmic exactness at matched dtype (f32 store). The default bf16
+    store can swap near-tied neighbors on a random corpus; its accuracy
+    contract is the rank-parity test in test_eval.py, not bitwise order."""
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    full = _full_alignment(img_embs, img_lens, cap_embs, cap_lens)
+
+    # i2t: caption corpus, image queries
+    cap_corpus = build_corpus(cap_embs, cap_lens, store_dtype=jnp.float32)
+    scores, idx = search(
+        corpus=cap_corpus, query_sets=img_embs, query_lens=img_lens,
+        direction="i2t", k=5, shortlist=10_000, rerank=True,
+    )
+    want = np.argsort(-full, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx, want)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(full, want, axis=1), atol=5e-2
+    )
+
+    # t2i: image corpus, caption queries
+    img_corpus = build_corpus(img_embs, img_lens, store_dtype=jnp.float32)
+    _, idx_t = search(
+        corpus=img_corpus, query_sets=cap_embs, query_lens=cap_lens,
+        direction="t2i", k=5, shortlist=10_000, rerank=True,
+    )
+    want_t = np.argsort(-full.T, axis=1)[:, :5]
+    np.testing.assert_array_equal(idx_t, want_t)
+
+
+def test_shortlist_bounds_rerank_candidates(corpus_data):
+    """At shortlist K, every returned index must come from the stage-1
+    top-K ranking of the matching head (retrieve-and-rerank semantics)."""
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    corpus = build_corpus(cap_embs, cap_lens)
+    kshort = 8
+    _, idx = search(
+        corpus, img_embs, img_lens, direction="i2t", k=5,
+        shortlist=kshort, rerank=True,
+    )
+    full_glob = img_embs[:, 0] @ cap_embs[:, 0].T
+    stage1 = np.argsort(-full_glob, axis=1)[:, :kshort]
+    for q in range(idx.shape[0]):
+        assert set(idx[q]) <= set(stage1[q])
+
+
+def test_query_chunking_is_invisible(corpus_data):
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    corpus = build_corpus(cap_embs, cap_lens)
+    kw = dict(direction="i2t", k=4, shortlist=12, rerank=True)
+    s1, i1 = search(corpus, img_embs, img_lens, query_chunk=None, **kw)
+    s2, i2 = search(corpus, img_embs, img_lens, query_chunk=7, **kw)  # ragged tail
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_bad_direction_raises(corpus_data):
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    corpus = build_corpus(cap_embs, cap_lens)
+    with pytest.raises(ValueError):
+        search(corpus, img_embs, img_lens, direction="sideways")
