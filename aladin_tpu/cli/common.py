@@ -106,10 +106,14 @@ def build_model_and_params(
         from aladin_tpu.io.convert import load_oscar_checkpoint
 
         tree, bert_cfg = load_oscar_checkpoint(args.eval_model_dir)
-        if quant:
+        if quant or cfg.model.hidden_act != "gelu":
             import dataclasses as _dc
 
-            bert_cfg = _dc.replace(bert_cfg, quant_matmuls=True)
+            # hidden-act: the checkpoint json's value wins unless the YAML
+            # explicitly opts into the fast tanh variant
+            act = (cfg.model.hidden_act if cfg.model.hidden_act != "gelu"
+                   else bert_cfg.hidden_act)
+            bert_cfg = _dc.replace(bert_cfg, quant_matmuls=quant, hidden_act=act)
         if cfg.model.embed_size != bert_cfg.hidden_size:
             # the reference's projection layers are dead code, so embed-size
             # MUST track the backbone; follow the checkpoint and warn
@@ -127,14 +131,15 @@ def build_model_and_params(
         params["oscar"] = jax.tree.map(jnp.asarray, tree["oscar"])
     else:
         bert_cfg = BertImgConfig(img_feature_dim=args.img_feature_dim,
-                                 quant_matmuls=quant)
+                                 quant_matmuls=quant,
+                                 hidden_act=cfg.model.hidden_act)
         if args.synthetic:  # tiny backbone for smoke runs
             bert_cfg = BertImgConfig(
                 vocab_size=512, hidden_size=cfg.model.embed_size,
                 num_hidden_layers=2, num_attention_heads=4,
                 intermediate_size=2 * cfg.model.embed_size,
                 max_position_embeddings=128, img_feature_dim=args.img_feature_dim,
-                quant_matmuls=quant,
+                quant_matmuls=quant, hidden_act=cfg.model.hidden_act,
             )
         model = ALADIN(cfg, bert_cfg, dtype=dtype)
         params = model.init(rng, example_batch, True)["params"]

@@ -69,6 +69,15 @@ class BertImgConfig:
     # (models/quant.py; same param pytree, checkpoints load unchanged).
     # attention-out / FFN-down stay bf16 (chip-measured: int8 loses there).
     quant_matmuls: bool = False
+    # TPU-native: FFN activation. 'gelu' = exact erf — reference / HF /
+    # released-checkpoint parity (ref:oscar BERT uses the erf form; locked
+    # by tests/test_models.py::test_text_path_matches_hf). 'gelu_tanh' =
+    # the tanh approximation: chip-measured 14.1->7.2 ms forward and
+    # 38.4->7.7 ms fwd+bwd for the step's 12 (17k, 3072) activations at
+    # B=128 — the erf BACKWARD is transcendental-bound on the VPU. Use
+    # for from-scratch / finetune training where bit-parity with released
+    # erf checkpoints is not required.
+    hidden_act: str = "gelu"
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertImgConfig":
@@ -76,11 +85,22 @@ class BertImgConfig:
         kwargs = {k: v for k, v in d.items() if k in keep}
         if "use_img_layernorm" in d:
             kwargs["use_img_layernorm"] = bool(d["use_img_layernorm"])
+        if d.get("hidden_act") == "gelu_new":  # HF's name for the tanh form
+            kwargs["hidden_act"] = "gelu_tanh"
         return cls(**kwargs)
 
 
 def _dense_init(cfg: BertImgConfig):
     return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+def _ffn_act(x: Array, name: str) -> Array:
+    """The configured FFN activation (see BertImgConfig.hidden_act)."""
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)  # exact erf, BERT-era
+    if name == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown hidden_act {name!r} (gelu | gelu_tanh)")
 
 
 def _proj_cls(cfg: BertImgConfig):
@@ -190,15 +210,15 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm")(
             x + attn_out
         )
-        # exact erf gelu, BERT-era; on the quant path it rides the GEMM
-        # kernel's fused epilogue instead of a separate HBM pass
-        inter_kw = {"activation": "gelu"} if cfg.quant_matmuls else {}
+        # configured gelu variant (cfg.hidden_act); on the quant path it
+        # rides the GEMM kernel's fused epilogue instead of a separate HBM pass
+        inter_kw = {"activation": cfg.hidden_act} if cfg.quant_matmuls else {}
         inter = _proj_cls(cfg)(
             cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
             name="intermediate", **inter_kw
         )(x)
         if not cfg.quant_matmuls:
-            inter = jax.nn.gelu(inter, approximate=False)
+            inter = _ffn_act(inter, cfg.hidden_act)
         out = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="output"
         )(inter)

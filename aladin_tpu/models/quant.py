@@ -74,6 +74,8 @@ def w8a8_apply(x: Array, kernel: Array, bias: Array, *,
     y = y.astype(jnp.float32) * xscale * wscale + bias.astype(jnp.float32)
     if activation == "gelu":
         y = jax.nn.gelu(y, approximate=False)
+    elif activation == "gelu_tanh":
+        y = jax.nn.gelu(y, approximate=True)
     return y.astype(out_dtype)
 
 

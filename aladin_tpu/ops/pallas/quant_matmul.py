@@ -54,8 +54,13 @@ def _erf(x):
 def _epilogue(acc, scale_row, ws, b, activation):
     y = acc.astype(jnp.float32) * scale_row * ws + b
     if activation == "gelu":
-        # exact-erf gelu - the backbone's variant (models/bert_img.py)
+        # exact-erf gelu - the backbone's default variant (models/bert_img.py)
         y = 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+    elif activation == "gelu_tanh":
+        # tanh approximation (BertImgConfig.hidden_act='gelu_tanh'), the
+        # jax.nn.gelu(approximate=True) formula
+        c = jnp.float32(0.7978845608028654)  # sqrt(2/pi)
+        y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
     return y
 
 

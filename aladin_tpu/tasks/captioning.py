@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from aladin_tpu.models.bert_img import BertImgConfig, BertImgModel, _dense_init
+from aladin_tpu.models.bert_img import BertImgConfig, BertImgModel, _dense_init, _ffn_act
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +56,7 @@ class BertMLMHead(nn.Module):
         cfg = self.cfg
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
                      name="transform_dense")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = _ffn_act(x, cfg.hidden_act)  # follows the backbone's variant
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="transform_layernorm")(x)
         logits = jnp.einsum(

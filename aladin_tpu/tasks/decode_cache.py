@@ -27,11 +27,11 @@ per-example context caches are beam-invariant and never reordered.
 
 CONTRACT: the param-tree primitives below re-implement the layer math of
 models/bert_img.py by hand (no Flax apply). Any change to the backbone's
-forward (mask constant, LN placement, gelu variant, new config knob that
+forward (mask constant, LN placement, new config knob that
 alters math) MUST be mirrored here; the guard is the config-variant parity
 matrix in tests/test_decode_cache.py (token + log-prob equality vs the
 full-recompute decoders across img-layernorm/head-count/width/remat
-variants). ``quant_matmuls`` is NOT supported here (decode is
+variants, incl. hidden_act='gelu_tanh'). ``quant_matmuls`` is NOT supported here (decode is
 latency-bound, not MXU-bound) and is rejected at prefill.
 """
 
@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from aladin_tpu.models.bert_img import BertImgConfig
+from aladin_tpu.models.bert_img import BertImgConfig, _ffn_act
 
 NEG_BIAS = -10000.0  # additive mask constant (ref:modeling_bert.py:226)
 
@@ -98,7 +98,7 @@ def _layer_tail(lp, cfg: BertImgConfig, x: Array, ctx: Array, dtype) -> Array:
     """attention_output -> LN(+res) -> gelu MLP -> LN(+res)."""
     attn_out = _dense(ctx, lp["attention_output"], dtype)
     x = _ln(x + attn_out, lp["attention_layernorm"], cfg.layer_norm_eps, dtype)
-    inter = jax.nn.gelu(_dense(x, lp["intermediate"], dtype), approximate=False)
+    inter = _ffn_act(_dense(x, lp["intermediate"], dtype), cfg.hidden_act)
     out = _dense(inter, lp["output"], dtype)
     return _ln(x + out, lp["output_layernorm"], cfg.layer_norm_eps, dtype)
 
@@ -107,7 +107,7 @@ def _mlm_logits(params, cfg: BertImgConfig, x: Array, dtype) -> Array:
     """BertMLMHead: transform dense + gelu + LN -> tied decoder + bias."""
     cp = params["cls"]
     x = _dense(x, cp["transform_dense"], dtype)
-    x = jax.nn.gelu(x, approximate=False)
+    x = _ffn_act(x, cfg.hidden_act)
     x = _ln(x, cp["transform_layernorm"], cfg.layer_norm_eps, dtype)
     word = params["bert"]["word_embeddings"]["embedding"].astype(dtype)
     logits = jnp.einsum("...d,vd->...v", x, word, preferred_element_type=jnp.float32)

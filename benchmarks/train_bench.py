@@ -56,13 +56,16 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="32,128,512")
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--hidden_act", default="gelu", choices=["gelu", "gelu_tanh"],
+                   help="backbone FFN activation; 'gelu_tanh' is the TPU-fast "
+                        "tanh approximation (model.hidden-act in the YAML)")
     ns = p.parse_args()
 
     results = {}
     for b in (int(x) for x in ns.batches.split(",")):
         d = config_for(b)
         cfg = ExperimentConfig.from_dict(d)
-        bert_cfg = BertImgConfig(remat=b >= 512)
+        bert_cfg = BertImgConfig(remat=b >= 512, hidden_act=ns.hidden_act)
         model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
         batch = synth_batch(jax.random.PRNGKey(0), b, 50, 34,
                             bert_cfg.img_feature_dim, bert_cfg.vocab_size)

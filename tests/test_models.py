@@ -270,3 +270,36 @@ def test_aladin_variants_run(rng, over):
     out = model.apply(params, batch, True)
     assert np.isfinite(np.asarray(out.img_global)).all()
     assert np.isfinite(np.asarray(out.cap_global)).all()
+
+
+def test_hidden_act_gelu_tanh_variant(rng):
+    """hidden_act='gelu_tanh' (the TPU-fast tanh approximation; chip-measured
+    ~25% step-time win over exact erf at B=128) must run end-to-end and stay
+    CLOSE to the exact-erf forward (max |gelu_tanh - gelu| ~ 1e-3 per
+    activation) while not being identical — guards both the plumbing and
+    against the knob silently mapping to the same function."""
+    import jax
+
+    ids = jnp.asarray(rng.randint(0, 97, size=(2, 10)), jnp.int32)
+    mask = jnp.ones((2, 10), jnp.int32)
+    outs = {}
+    for act in ("gelu", "gelu_tanh"):
+        model = BertImgModel(small_cfg(hidden_act=act))
+        params = model.init(jax.random.PRNGKey(0), ids, mask)
+        seq, pooled, _, _ = model.apply(params, ids, mask)
+        outs[act] = np.asarray(seq, np.float32)
+    a, b = outs["gelu"], outs["gelu_tanh"]
+    assert np.isfinite(b).all()
+    assert not np.array_equal(a, b)
+    assert np.abs(a - b).max() < 0.15  # small perturbation, not a rewrite
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_hidden_act_unknown_raises(rng):
+    import jax
+
+    ids = jnp.asarray(rng.randint(0, 97, size=(1, 4)), jnp.int32)
+    model = BertImgModel(small_cfg(hidden_act="relu6"))
+    with pytest.raises(ValueError, match="hidden_act"):
+        model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 4), jnp.int32))

@@ -26,6 +26,8 @@ def _ref(xq, xs, wq, ws, b, activation=None):
     y = y * xs * ws + b
     if activation == "gelu":
         y = jax.nn.gelu(y, approximate=False)
+    elif activation == "gelu_tanh":
+        y = jax.nn.gelu(y, approximate=True)
     return y
 
 
@@ -80,3 +82,14 @@ def test_w8a8_dense_apply_matches_quantdense(rng):
         out_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_gelu_tanh_epilogue(rng):
+    """The fused tanh-gelu epilogue (BertImgConfig.hidden_act='gelu_tanh')
+    must match jax.nn.gelu(approximate=True)."""
+    _, _, b, xq, xs, wq, ws = _quant_inputs(rng, 64, 64, 128)
+    got = w8a8_matmul(xq, xs, wq, ws, b, activation="gelu_tanh", block_m=64,
+                      block_n=128, out_dtype=jnp.float32, interpret=True)
+    ref = _ref(xq, xs, wq, ws, b, activation="gelu_tanh")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
