@@ -83,6 +83,10 @@ def main() -> int:
     p.add_argument("--max_seq_length", type=int, default=50)
     p.add_argument("--max_img_seq_length", type=int, default=34)
     p.add_argument("--score_dtype", default="int8", choices=["int8", "bfloat16"])
+    p.add_argument("--hidden_act", default="gelu", choices=["gelu", "gelu_tanh"],
+                   help="backbone FFN activation; gelu_tanh = the TPU-fast "
+                        "tanh approximation (serving option - scores shift "
+                        "by the ~1e-3 gelu approximation error)")
     p.add_argument("--int8_encoder", action="store_true",
                    help="encode with W8A8 quantized projection matmuls "
                         "(BertImgConfig.quant_matmuls — the cli/test "
@@ -105,7 +109,8 @@ def main() -> int:
         {"model": {"embed-size": 768, "tern-layers": 2},
          "training": {"loss-type": "alignment-distillation", "loss-weights": [1, 1]}}
     )
-    bert_cfg = BertImgConfig(quant_matmuls=ns.int8_encoder)  # full VinVL-base
+    bert_cfg = BertImgConfig(quant_matmuls=ns.int8_encoder,
+                             hidden_act=ns.hidden_act)  # full VinVL-base
     model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
     params = model.init(
         jax.random.PRNGKey(0), synth_batch(jax.random.PRNGKey(1), 4, l, r,
@@ -209,6 +214,8 @@ def main() -> int:
     m = recall_metrics(jax.device_get(mr[0]))
     results["sanity_i2t_meanr"] = m["meanr"]
     enc_kind = "int8-W8A8" if ns.int8_encoder else "bf16"
+    if ns.hidden_act != "gelu":
+        enc_kind += f"+{ns.hidden_act}"
     results["config"] = (f"{ns.n_images}x{n_rows} rows, VinVL-base {enc_kind} encode"
                          f"{' (length-bucketed 16/32/50)' if ns.bucketed else ''}, "
                          f"{ns.score_dtype} alignment scoring, B={b}, 1 chip")

@@ -41,10 +41,10 @@ from aladin_tpu.utils.rng import make_training_key
 from benchmarks.retrieval_eval_bench import synth_batch
 
 
-def config_for(b: int) -> dict:
+def config_for(b: int, hidden: int = 768) -> dict:
     training = {"loss-type": "alignment-distillation", "loss-weights": [1, 1],
                 "lr": 1e-5, "bs": b}
-    model = {"embed-size": 768, "tern-layers": 2}
+    model = {"embed-size": hidden, "tern-layers": 2}
     if b >= 512:
         training["alignment-chunk"] = 128
     if b >= 1024:
@@ -56,6 +56,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="32,128,512")
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--model", default="base", choices=["base", "large"],
+                   help="VinVL-base (12x768) or VinVL/Oscar-large (24x1024, "
+                        "16 heads, 4096 FFN - the model-zoo large variant)")
     p.add_argument("--hidden_act", default="gelu", choices=["gelu", "gelu_tanh"],
                    help="backbone FFN activation; 'gelu_tanh' is the TPU-fast "
                         "tanh approximation (model.hidden-act in the YAML)")
@@ -63,9 +66,13 @@ def main() -> int:
 
     results = {}
     for b in (int(x) for x in ns.batches.split(",")):
-        d = config_for(b)
+        d = config_for(b, 1024 if ns.model == "large" else 768)
         cfg = ExperimentConfig.from_dict(d)
-        bert_cfg = BertImgConfig(remat=b >= 512, hidden_act=ns.hidden_act)
+        large = dict(num_hidden_layers=24, hidden_size=1024,
+                     num_attention_heads=16, intermediate_size=4096)
+        bert_cfg = BertImgConfig(remat=b >= (128 if ns.model == "large" else 512),
+                                 hidden_act=ns.hidden_act,
+                                 **(large if ns.model == "large" else {}))
         model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
         batch = synth_batch(jax.random.PRNGKey(0), b, 50, 34,
                             bert_cfg.img_feature_dim, bert_cfg.vocab_size)
@@ -90,7 +97,10 @@ def main() -> int:
         # numerator) vs the v5e bf16 roofline; XLA's own cost analysis of
         # the compiled step is reported alongside as a cross-check (it
         # COUNTS remat recompute, so it upper-bounds the analytic number).
-        mf = train_step_model_flops(b)
+        mf = train_step_model_flops(
+            b, hidden=bert_cfg.hidden_size,
+            n_layers=bert_cfg.num_hidden_layers,
+            intermediate=bert_cfg.intermediate_size)
         tflops = mf / best / 1e12
         results[f"B{b}_model_TFLOPs"] = round(tflops, 1)
         results[f"B{b}_MFU_pct"] = round(100 * mf / best / V5E_BF16_PEAK, 1)
@@ -104,7 +114,7 @@ def main() -> int:
             pass  # cost analysis is advisory; not all backends expose it
         del state, params, step  # free HBM before the next size
 
-    results["config"] = ("VinVL-base bf16, L=50/R=34, alignment+matching+distill, "
+    results["config"] = (f"VinVL-{ns.model} bf16, L=50/R=34, alignment+matching+distill, "
                          f"1 chip; MFU vs {V5E_BF16_PEAK/1e12:.0f} TFLOP/s bf16 peak")
     print(json.dumps(results))
     return 0

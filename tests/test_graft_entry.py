@@ -32,6 +32,7 @@ def test_dryrun_multichip_driver_contract():
     assert "dryrun_multichip(n=8)" in r.stdout and "OK" in r.stdout, r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     # With enough devices already visible (the conftest's 8-vdev CPU mesh),
     # the body runs in-process with no re-exec.

@@ -113,6 +113,7 @@ def test_grafted_backbone_matches_hf(oscar_dir, rng):
     np.testing.assert_allclose(np.asarray(seq), ref.numpy(), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_full_cli_with_oscar_dir(oscar_dir, tmp_path):
     """Train one epoch with --eval_model_dir: tokenizer from vocab.txt,
     training_args.bin overrides (img_layer_norm_eps 1e-5), grafted backbone."""

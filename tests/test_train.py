@@ -50,6 +50,7 @@ def test_loss_decreases(rng):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_encoder_microbatch_matches_full(rng):
     """encoder-microbatch (checkpointed encoder scan) produces the SAME loss
     and gradients as one big forward - full-batch contrastive semantics are
@@ -120,6 +121,7 @@ def test_distillation_epoch_gate(rng):
     assert abs(float(t2) - float(t0) - float(m0["distillation_loss"])) < 1e-4
 
 
+@pytest.mark.slow
 def test_auto_weights_learn(rng):
     model, cfg = make_model(weights="auto")
     batch = make_batch(rng)
@@ -149,6 +151,7 @@ def shard_batch(batch, sharding):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_dp_tp(rng):
     """Full train step over a dp=4 x tp=2 mesh on 8 virtual CPU devices."""
     from aladin_tpu.parallel.mesh import create_mesh
@@ -195,6 +198,7 @@ def test_all_recipe_loss_types_run(rng, loss_type, weights):
     assert np.isfinite(float(metrics["loss"])), loss_type
 
 
+@pytest.mark.slow
 def test_rbg_training_key_drives_the_step(rng):
     """The 'rbg' PRNG (the TPU production dropout key, utils/rng.py) flows
     through fold_in -> flax Dropout -> the full step: loss finite, params
