@@ -81,6 +81,8 @@ def main(argv=None) -> int:
     p.add_argument("--max_seq_length", type=int, default=35)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--img_feature_dim", type=int, default=2054)
+    p.add_argument("--hidden_act", default="gelu",
+                   choices=["gelu", "gelu_tanh"], help="backbone FFN activation; gelu_tanh = the TPU-fast tanh approximation (~9%% faster steps; not bit-compatible with erf-trained checkpoints)")
     p.add_argument("--train_batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
@@ -130,13 +132,13 @@ def main(argv=None) -> int:
     logger.info(f"corpus: {len(corpus)} examples from {ns.datasets}")
 
     if ns.synthetic:
-        cfg = BertImgConfig(
+        cfg = BertImgConfig(hidden_act=ns.hidden_act, 
             vocab_size=tokenizer.vocab_size, hidden_size=64, num_hidden_layers=2,
             num_attention_heads=4, intermediate_size=128,
             max_position_embeddings=128, img_feature_dim=ns.img_feature_dim,
         )
     else:
-        cfg = BertImgConfig(vocab_size=tokenizer.vocab_size,
+        cfg = BertImgConfig(hidden_act=ns.hidden_act, vocab_size=tokenizer.vocab_size,
                             img_feature_dim=ns.img_feature_dim)
     model = BertImgForPreTraining(cfg, num_contrast_classes=ns.num_contrast_classes)
 

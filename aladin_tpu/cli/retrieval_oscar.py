@@ -38,6 +38,8 @@ def main(argv=None) -> int:
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--img_feature_dim", type=int, default=2054)
+    p.add_argument("--hidden_act", default="gelu",
+                   choices=["gelu", "gelu_tanh"], help="backbone FFN activation; gelu_tanh = the TPU-fast tanh approximation (~9%% faster steps; not bit-compatible with erf-trained checkpoints)")
     p.add_argument("--train_batch_size", type=int, default=16,
                    help="anchor count; each anchor adds a positive + a negative")
     p.add_argument("--learning_rate", type=float, default=2e-5)
@@ -72,12 +74,12 @@ def main(argv=None) -> int:
     logger.info(f"train pairs/epoch: {2 * len(train_ds)}  test images: {len(test_ds.img_keys)}")
 
     if ns.synthetic:
-        cfg = BertImgConfig(vocab_size=tokenizer.vocab_size, hidden_size=64,
+        cfg = BertImgConfig(hidden_act=ns.hidden_act, vocab_size=tokenizer.vocab_size, hidden_size=64,
                             num_hidden_layers=2, num_attention_heads=4,
                             intermediate_size=128, max_position_embeddings=256,
                             img_feature_dim=ns.img_feature_dim, num_labels=2)
     else:
-        cfg = BertImgConfig(vocab_size=tokenizer.vocab_size,
+        cfg = BertImgConfig(hidden_act=ns.hidden_act, vocab_size=tokenizer.vocab_size,
                             img_feature_dim=ns.img_feature_dim, num_labels=2)
     model = ImageBertClassifier(cfg)
 
