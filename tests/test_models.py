@@ -303,3 +303,21 @@ def test_hidden_act_unknown_raises(rng):
     model = BertImgModel(small_cfg(hidden_act="relu6"))
     with pytest.raises(ValueError, match="hidden_act"):
         model.init(jax.random.PRNGKey(0), ids, jnp.ones((1, 4), jnp.int32))
+
+
+def test_fused_qkv_matches_separate(rng):
+    """fused_qkv computes the identical projection (the three kernels are
+    independent column blocks of the fused GEMM) over the UNCHANGED param
+    tree — params init'd by one variant must apply bit-compatibly under
+    the other."""
+    import jax
+
+    ids = jnp.asarray(rng.randint(0, 97, size=(2, 9)), jnp.int32)
+    mask = jnp.ones((2, 9), jnp.int32)
+    m_sep = BertImgModel(small_cfg(fused_qkv=False))
+    m_fused = BertImgModel(small_cfg(fused_qkv=True))
+    params = m_sep.init(jax.random.PRNGKey(0), ids, mask)
+    seq_sep, _, _, _ = m_sep.apply(params, ids, mask)
+    seq_fused, _, _, _ = m_fused.apply(params, ids, mask)
+    np.testing.assert_allclose(np.asarray(seq_sep), np.asarray(seq_fused),
+                               atol=2e-5)
