@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from aladin_tpu.cli.common import add_hidden_act_flag
 from aladin_tpu.cli.pretrain import make_optimizer
 from aladin_tpu.data.tokenizer import encode_trunc_any
 from aladin_tpu.eval.caption_metrics import evaluate_captions
@@ -115,8 +116,7 @@ def main(argv=None) -> int:
     p.add_argument("--max_seq_a_length", type=int, default=40)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--img_feature_dim", type=int, default=2054)
-    p.add_argument("--hidden_act", default="gelu",
-                   choices=["gelu", "gelu_tanh"], help="backbone FFN activation; gelu_tanh = the TPU-fast tanh approximation (~9%% faster steps; not bit-compatible with erf-trained checkpoints)")
+    add_hidden_act_flag(p)
     p.add_argument("--mask_prob", type=float, default=0.15)
     p.add_argument("--max_masked_tokens", type=int, default=3)
     p.add_argument("--label_smoothing", type=float, default=0.1)

@@ -296,3 +296,14 @@ def setup_dp_mesh(mesh_shape: str, batch_size: int, params, opt_state, logger=No
 
             return params, opt_state, put
     return params, opt_state, jnp.asarray
+
+
+def add_hidden_act_flag(p) -> None:
+    """--hidden_act for drivers that build a BertImgConfig directly
+    (the flagship trainer reads model.hidden-act from the YAML instead)."""
+    p.add_argument(
+        "--hidden_act", default="gelu", choices=["gelu", "gelu_tanh"],
+        help="backbone FFN activation; gelu_tanh = the TPU-fast tanh "
+             "approximation (~10-15%% faster steps at B=128; not "
+             "bit-compatible with erf-trained checkpoints)",
+    )

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from aladin_tpu.cli.common import add_hidden_act_flag
 from aladin_tpu.models.bert_img import BertImgConfig
 from aladin_tpu.parallel import distributed
 from aladin_tpu.tasks.pretrain_data import PretrainCorpus, make_synthetic_pretrain_corpus
@@ -81,8 +82,7 @@ def main(argv=None) -> int:
     p.add_argument("--max_seq_length", type=int, default=35)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--img_feature_dim", type=int, default=2054)
-    p.add_argument("--hidden_act", default="gelu",
-                   choices=["gelu", "gelu_tanh"], help="backbone FFN activation; gelu_tanh = the TPU-fast tanh approximation (~9%% faster steps; not bit-compatible with erf-trained checkpoints)")
+    add_hidden_act_flag(p)
     p.add_argument("--train_batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)

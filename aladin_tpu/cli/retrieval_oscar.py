@@ -20,7 +20,7 @@ import time
 import jax
 import numpy as np
 
-from aladin_tpu.cli.common import build_tokenizer, prepare_synthetic, to_data_args
+from aladin_tpu.cli.common import build_tokenizer, prepare_synthetic, to_data_args, add_hidden_act_flag
 from aladin_tpu.cli.pretrain import make_optimizer
 from aladin_tpu.data.dataset import RetrievalDataset
 from aladin_tpu.models.bert_img import BertImgConfig, ImageBertClassifier
@@ -38,8 +38,7 @@ def main(argv=None) -> int:
     p.add_argument("--max_seq_length", type=int, default=70)
     p.add_argument("--max_img_seq_length", type=int, default=50)
     p.add_argument("--img_feature_dim", type=int, default=2054)
-    p.add_argument("--hidden_act", default="gelu",
-                   choices=["gelu", "gelu_tanh"], help="backbone FFN activation; gelu_tanh = the TPU-fast tanh approximation (~9%% faster steps; not bit-compatible with erf-trained checkpoints)")
+    add_hidden_act_flag(p)
     p.add_argument("--train_batch_size", type=int, default=16,
                    help="anchor count; each anchor adds a positive + a negative")
     p.add_argument("--learning_rate", type=float, default=2e-5)

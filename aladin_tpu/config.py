@@ -51,8 +51,8 @@ class ModelConfig:
     dropout: float = 0.1
     # TPU-native: backbone FFN activation. 'gelu' = exact erf (reference /
     # released-checkpoint parity). 'gelu-tanh' = tanh approximation —
-    # chip-measured ~25% faster per train step (the erf BACKWARD is
-    # transcendental-bound on the VPU); use for from-scratch training.
+    # chip-measured ~10-15% faster per B=128 train step (the erf BACKWARD
+    # is transcendental-bound on the VPU); use for from-scratch training.
     hidden_act: str = "gelu"
 
     @classmethod

@@ -131,7 +131,7 @@ def _search_batch(
     if not rerank:
         return jax.lax.top_k(sims, k)
 
-    short_scores, short_idx = jax.lax.top_k(sims, shortlist)  # (Q, K)
+    _, short_idx = jax.lax.top_k(sims, shortlist)  # (Q, K)
     cand_sets = jnp.take(corpus.token_sets, short_idx, axis=0)  # (Q, K, S, D)
     cand_lens = jnp.take(corpus.lengths, short_idx)  # (Q, K)
     q_norm = l2norm(q_sets, eps=1e-12)
@@ -179,6 +179,9 @@ def search(
     query_sets = jnp.asarray(query_sets)
     query_lens = jnp.asarray(query_lens, jnp.int32)
     n_q = query_sets.shape[0]
+    if n_q == 0:  # empty shard/bucket: return empty results, not a crash
+        kk = min(k, shortlist if rerank else corpus.size)
+        return (np.zeros((0, kk), np.float32), np.zeros((0, kk), np.int32))
     shortlist = min(shortlist, corpus.size)
     k = min(k, corpus.size if not rerank else shortlist)
     chunk = n_q if not query_chunk else min(query_chunk, n_q)

@@ -149,17 +149,16 @@ class BertSelfAttention(nn.Module):
     def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
-        if cfg.quant_matmuls:
-            # Fused QKV: one W8A8 GEMM over the concatenated kernels. The
-            # in-kernel per-row activation quantization is serial VPU work
-            # (~1.4us per 256-row tile on v5e) - paying it once for all
-            # three projections instead of three times is what makes int8
-            # QKV beat three bf16 dots. Param tree unchanged (query/key/
-            # value declared separately, concatenated at trace time -
-            # loop-invariant, so XLA hoists the concat+quantize out of
-            # encode scans).
-            from aladin_tpu.models.quant import w8a8_apply
-
+        if cfg.quant_matmuls or cfg.fused_qkv:
+            # Fused QKV: one (D, 3D) GEMM over trace-time-concatenated
+            # kernels. Param tree unchanged (query/key/value declared
+            # separately); math identical (the three kernels are independent
+            # column blocks). For int8 the single GEMM is what makes W8A8
+            # QKV beat three bf16 dots: the in-kernel per-row activation
+            # quantize (serial VPU work, ~1.4us per 256-row tile) is paid
+            # once instead of three times, and the concat+quantize is
+            # loop-invariant so XLA hoists it out of encode scans. For bf16
+            # see the fused_qkv config-field comment (A/B'd; off by default).
             parts = [
                 _ProjParams(cfg.hidden_size, cfg.hidden_size, _dense_init(cfg),
                             name=nm)()
@@ -167,25 +166,12 @@ class BertSelfAttention(nn.Module):
             ]
             wcat = jnp.concatenate([p[0] for p in parts], axis=1)
             bcat = jnp.concatenate([p[1] for p in parts])
-            qkv = w8a8_apply(x, wcat, bcat, out_dtype=self.dtype)
-            q, k, v = (
-                a.reshape(*x.shape[:-1], h, d) for a in jnp.split(qkv, 3, axis=-1)
-            )
-        elif cfg.fused_qkv:
-            # Fused bf16 QKV: one (D, 3D) GEMM instead of three (D, D).
-            # Math is identical (the three kernels are independent column
-            # blocks of the fused GEMM) and the param tree is unchanged
-            # (query/key/value declared separately, concatenated at trace
-            # time). See the config-field comment for the measured A/B -
-            # off by default.
-            parts = [
-                _ProjParams(cfg.hidden_size, cfg.hidden_size, _dense_init(cfg),
-                            name=nm)()
-                for nm in ("query", "key", "value")
-            ]
-            wcat = jnp.concatenate([p[0] for p in parts], axis=1).astype(self.dtype)
-            bcat = jnp.concatenate([p[1] for p in parts]).astype(self.dtype)
-            qkv = x @ wcat + bcat
+            if cfg.quant_matmuls:
+                from aladin_tpu.models.quant import w8a8_apply
+
+                qkv = w8a8_apply(x, wcat, bcat, out_dtype=self.dtype)
+            else:
+                qkv = x @ wcat.astype(self.dtype) + bcat.astype(self.dtype)
             q, k, v = (
                 a.reshape(*x.shape[:-1], h, d) for a in jnp.split(qkv, 3, axis=-1)
             )

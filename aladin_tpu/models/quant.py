@@ -55,6 +55,9 @@ def w8a8_apply(x: Array, kernel: Array, bias: Array, *,
     own int8 ``dot_general`` lowering), or to the identical-math XLA path
     elsewhere (CPU tests, non-128-multiple dims). Parity between the two
     is locked by tests/test_quant_matmul.py."""
+    if activation not in (None, "gelu", "gelu_tanh"):
+        raise ValueError(f"unknown activation {activation!r} "
+                         "(None | 'gelu' | 'gelu_tanh')")
     d_in, d_out = kernel.shape
     use_pallas = (
         jax.default_backend() == "tpu" and d_in % 128 == 0 and d_out % 128 == 0
@@ -87,7 +90,7 @@ class QuantDense(nn.Module):
     dtype: Any = jnp.bfloat16
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros_init()
-    # optional fused epilogue: None | 'gelu' (exact-erf form)
+    # optional fused epilogue: None | 'gelu' (exact erf) | 'gelu_tanh'
     activation: Any = None
 
     @nn.compact

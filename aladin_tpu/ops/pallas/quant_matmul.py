@@ -51,6 +51,9 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+ACTIVATIONS = (None, "gelu", "gelu_tanh")
+
+
 def _epilogue(acc, scale_row, ws, b, activation):
     y = acc.astype(jnp.float32) * scale_row * ws + b
     if activation == "gelu":
@@ -111,6 +114,8 @@ def w8a8_matmul(
     into VMEM ONCE and the activation rows stream past it (the chip-swept
     optimum: 366 TOPS at M=8192, K=768, N=3072 vs 205 for bn=512).
     """
+    if activation not in ACTIVATIONS:
+        raise ValueError(f"unknown activation {activation!r} ({ACTIVATIONS})")
     m, k = xq.shape
     k2, n = wq.shape
     assert k == k2, (xq.shape, wq.shape)
@@ -147,7 +152,7 @@ def w8a8_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
             bytes_accessed=xq.nbytes + wq.nbytes + mp * n * 2,
-            transcendentals=mp * n if activation == "gelu" else 0,
+            transcendentals=mp * n if activation else 0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -175,6 +180,8 @@ def w8a8_matmul_dynx(
     and quantizes each row on-chip inside the kernel (identical scales to
     quantize_rowwise - the tile holds the full K axis). This is the
     production encoder path: one HBM read of x, int8 MXU rate."""
+    if activation not in ACTIVATIONS:
+        raise ValueError(f"unknown activation {activation!r} ({ACTIVATIONS})")
     m, k = x.shape
     k2, n = wq.shape
     assert k == k2, (x.shape, wq.shape)
@@ -208,7 +215,7 @@ def w8a8_matmul_dynx(
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * k * n,
             bytes_accessed=x.nbytes + wq.nbytes + mp * n * 2,
-            transcendentals=mp * n if activation == "gelu" else 0,
+            transcendentals=mp * n if activation else 0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -28,7 +28,6 @@ Prints one JSON line.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys

@@ -274,7 +274,7 @@ def test_aladin_variants_run(rng, over):
 
 def test_hidden_act_gelu_tanh_variant(rng):
     """hidden_act='gelu_tanh' (the TPU-fast tanh approximation; chip-measured
-    ~25% step-time win over exact erf at B=128) must run end-to-end and stay
+    ~10-15% step-time win over exact erf at B=128) must run end-to-end and stay
     CLOSE to the exact-erf forward (max |gelu_tanh - gelu| ~ 1e-3 per
     activation) while not being identical — guards both the plumbing and
     against the knob silently mapping to the same function."""

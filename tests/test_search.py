@@ -59,7 +59,7 @@ def test_matching_only_equals_bruteforce(corpus_data):
 def test_two_stage_exact_when_shortlist_covers_corpus(corpus_data):
     """Algorithmic exactness at matched dtype (f32 store). The default bf16
     store can swap near-tied neighbors on a random corpus; its accuracy
-    contract is the rank-parity test in test_eval.py, not bitwise order."""
+    contract is test_bf16_store_rank_parity below, not bitwise order."""
     img_embs, img_lens, cap_embs, cap_lens = corpus_data
     full = _full_alignment(img_embs, img_lens, cap_embs, cap_lens)
 
@@ -116,3 +116,35 @@ def test_bad_direction_raises(corpus_data):
     corpus = build_corpus(cap_embs, cap_lens)
     with pytest.raises(ValueError):
         search(corpus, img_embs, img_lens, direction="sideways")
+
+
+def test_bf16_store_rank_parity(corpus_data):
+    """Accuracy lock for the DEFAULT bf16 corpus store (the shipped serving
+    configuration): two-stage search over a bf16 corpus must agree with the
+    f32 full-alignment ranking on top-1 for the overwhelming majority of
+    queries, and its returned scores must track the f32 scores closely.
+    Random unit-norm embeddings are a WORST case for near-ties; real
+    embeddings separate further."""
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    full = _full_alignment(img_embs, img_lens, cap_embs, cap_lens)
+    corpus = build_corpus(cap_embs, cap_lens)  # default store_dtype=bf16
+    scores, idx = search(
+        corpus, img_embs, img_lens, direction="i2t", k=5,
+        shortlist=10_000, rerank=True,
+    )
+    want = np.argsort(-full, axis=1)[:, :5]
+    top1_match = (idx[:, 0] == want[:, 0]).mean()
+    assert top1_match >= 0.9, top1_match
+    # top-5 sets overlap >= 4/5 on average
+    overlap = np.mean([len(set(idx[q]) & set(want[q])) for q in range(len(idx))])
+    assert overlap >= 4.0, overlap
+    # returned scores track the f32 scores of the SAME returned items
+    got_items_f32 = np.take_along_axis(full, idx, axis=1)
+    np.testing.assert_allclose(scores, got_items_f32, atol=5e-2)
+
+
+def test_empty_query_set_returns_empty(corpus_data):
+    img_embs, img_lens, cap_embs, cap_lens = corpus_data
+    corpus = build_corpus(cap_embs, cap_lens)
+    s, i = search(corpus, img_embs[:0], img_lens[:0], direction="i2t", k=5)
+    assert s.shape == (0, 5) and i.shape == (0, 5)
