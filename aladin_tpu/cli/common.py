@@ -68,6 +68,12 @@ def add_shared_flags(p: argparse.ArgumentParser) -> None:
                         "only — cli/test, not training)")
     p.add_argument("--synthetic", action="store_true",
                    help="build a tiny on-disk synthetic dataset + random backbone (no COCO/ckpt needed)")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a JAX profiler trace (XPlane; view in "
+                        "TensorBoard's profile tab / Perfetto) of the first "
+                        "--profile_steps post-compile train steps into this "
+                        "directory (SURVEY.md S5.1)")
+    p.add_argument("--profile_steps", type=int, default=5)
 
 
 def to_data_args(ns: argparse.Namespace) -> DataArgs:

@@ -94,6 +94,13 @@ class Trainer:
         batch_time, data_time = AverageMeter(), AverageMeter()
         collector = LogCollector()
         epoch_dev = jnp.int32(epoch)
+        # --profile_dir: trace steps [1, 1+profile_steps) of the first epoch
+        # this Trainer runs (step 0 is compile; tracing it drowns the steady
+        # state). One capture per process.
+        prof_dir = getattr(self.args, "profile_dir", "")
+        prof_steps = int(getattr(self.args, "profile_steps", 5) or 5)
+        prof_active = False
+        prof_start = 1 if len(self.train_loader) > 1 else 0  # 1-batch epochs
         step0 = int(self.state.step)  # one fetch per epoch
         pending = []  # [(global_step, batch_idx, device metrics)]
         window_start = time.time()
@@ -129,6 +136,16 @@ class Trainer:
 
         end = time.time()
         for i, batch in enumerate(self.train_loader.epoch(epoch)):
+            if prof_dir and not getattr(self, "_profiled", False):
+                if i == prof_start:
+                    jax.profiler.start_trace(prof_dir)
+                    prof_active = True
+                elif prof_active and i == prof_start + prof_steps:
+                    jax.block_until_ready(self.state.params)  # drain device
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    self._profiled = True
+                    self.logger.info(f"profiler trace ({prof_steps} steps) -> {prof_dir}")
             data_time.update(time.time() - end, n=1)
             self.state, metrics = self.train_step(self.state, batch, epoch_dev, self.rng)
             gstep = step0 + i + 1
@@ -141,6 +158,11 @@ class Trainer:
                 flush(i)
                 rsum, ndcg = self.validate()
                 self._checkpoint(epoch, rsum, ndcg)
+        if prof_active:  # epoch shorter than the trace window
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._profiled = True
+            self.logger.info(f"profiler trace -> {prof_dir}")
         flush(max(len(self.train_loader) - 1, 0))
 
     # ------------------------------------------------------------------

@@ -69,14 +69,20 @@ def test_train_cli_ndcg_gate(workdir):
             os.path.join(rel_dir, f"coco-minival-{method}.npy"))
 
     runs = os.path.join(out, "runs")
+    prof = os.path.join(out, "prof")
     rc = train_main([
         "--config", "aladin_tpu/configs/alad-alignment-and-matching-distill.yaml",
         "--output_dir", out, "--logger_name", runs,
         "--num_epochs", "1", "--val_step", "0", "--log_step", "100", "--ndcg",
+        "--profile_dir", prof, "--profile_steps", "1",
         *COMMON,
     ])
     assert rc == 0
     assert os.path.isdir(os.path.join(runs, "model_best_ndcgspice"))
+    # --profile_dir captured a JAX profiler trace (SURVEY.md S5.1)
+    import glob
+
+    assert glob.glob(os.path.join(prof, "plugins", "profile", "*", "*.xplane.pb"))
     log = open(os.path.join(runs, "log.txt")).read()
     import re
 
