@@ -148,3 +148,35 @@ def test_empty_query_set_returns_empty(corpus_data):
     corpus = build_corpus(cap_embs, cap_lens)
     s, i = search(corpus, img_embs[:0], img_lens[:0], direction="i2t", k=5)
     assert s.shape == (0, 5) and i.shape == (0, 5)
+
+
+@pytest.mark.parametrize("n_cap", [60, 61])  # even + mesh-padding case
+def test_sharded_search_matches_local(n_cap):
+    """sharded_search on the 8-device CPU mesh: matching-only is EXACT vs
+    brute force (distributed top-k merge), and the reranked result equals
+    the single-device full-alignment ranking when shortlist covers each
+    shard (f32 store; includes the corpus-padding path when N % n_dev != 0)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from aladin_tpu.eval.search import sharded_search
+
+    rng = np.random.default_rng(1)
+    img_embs, img_lens = _fake_buffers(rng, 16, 9, 16)
+    cap_embs, cap_lens = _fake_buffers(rng, n_cap, 12, 16)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    corpus = build_corpus(cap_embs, cap_lens, store_dtype=jnp.float32)
+
+    # matching-only: exact merge
+    s, i = sharded_search(mesh, corpus, img_embs, img_lens,
+                          direction="i2t", k=5, rerank=False)
+    full_glob = img_embs[:, 0] @ cap_embs[:, 0].T
+    np.testing.assert_array_equal(i, np.argsort(-full_glob, axis=1)[:, :5])
+
+    # rerank, shortlist covering each shard: equals full alignment top-k
+    full = _full_alignment(img_embs, img_lens, cap_embs, cap_lens)
+    s2, i2 = sharded_search(mesh, corpus, img_embs, img_lens,
+                            direction="i2t", k=5, shortlist=10_000, rerank=True)
+    np.testing.assert_array_equal(i2, np.argsort(-full, axis=1)[:, :5])
+    np.testing.assert_allclose(
+        s2, np.take_along_axis(full, i2, axis=1), atol=5e-2)
