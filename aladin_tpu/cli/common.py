@@ -112,13 +112,25 @@ def build_model_and_params(
         from aladin_tpu.io.convert import load_oscar_checkpoint
 
         tree, bert_cfg = load_oscar_checkpoint(args.eval_model_dir)
-        if quant or cfg.model.hidden_act != "gelu":
+        # hidden-act: the checkpoint json's value wins unless the YAML
+        # explicitly opts into the fast tanh variant ('gelu' is both the
+        # config default and a possible explicit choice, so it cannot
+        # override a checkpoint that declares gelu_new — warn when they
+        # disagree so the precedence is visible at runtime).
+        act = (cfg.model.hidden_act if cfg.model.hidden_act != "gelu"
+               else bert_cfg.hidden_act)
+        if act != cfg.model.hidden_act:
+            import logging
+
+            logging.getLogger("vlpretrain").warning(
+                "hidden-act: checkpoint declares %r, config has %r; "
+                "following the checkpoint (set model.hidden-act: gelu-tanh "
+                "explicitly to override)", bert_cfg.hidden_act,
+                cfg.model.hidden_act,
+            )
+        if quant or act != bert_cfg.hidden_act:
             import dataclasses as _dc
 
-            # hidden-act: the checkpoint json's value wins unless the YAML
-            # explicitly opts into the fast tanh variant
-            act = (cfg.model.hidden_act if cfg.model.hidden_act != "gelu"
-                   else bert_cfg.hidden_act)
             bert_cfg = _dc.replace(bert_cfg, quant_matmuls=quant, hidden_act=act)
         if cfg.model.embed_size != bert_cfg.hidden_size:
             # the reference's projection layers are dead code, so embed-size

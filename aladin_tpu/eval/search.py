@@ -180,7 +180,9 @@ def search(
     query_lens = jnp.asarray(query_lens, jnp.int32)
     n_q = query_sets.shape[0]
     if n_q == 0:  # empty shard/bucket: return empty results, not a crash
-        kk = min(k, shortlist if rerank else corpus.size)
+        # Clamp exactly as the non-empty path does so shapes are consistent
+        # for callers that concatenate per-shard/per-bucket results.
+        kk = min(k, min(shortlist, corpus.size) if rerank else corpus.size)
         return (np.zeros((0, kk), np.float32), np.zeros((0, kk), np.int32))
     shortlist = min(shortlist, corpus.size)
     k = min(k, corpus.size if not rerank else shortlist)

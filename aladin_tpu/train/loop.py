@@ -98,7 +98,9 @@ class Trainer:
         # this Trainer runs (step 0 is compile; tracing it drowns the steady
         # state). One capture per process.
         prof_dir = getattr(self.args, "profile_dir", "")
-        prof_steps = int(getattr(self.args, "profile_steps", 5) or 5)
+        prof_steps = int(getattr(self.args, "profile_steps", 5))
+        if prof_dir and prof_steps < 1:
+            raise ValueError(f"--profile_steps must be >= 1, got {prof_steps}")
         prof_active = False
         prof_start = 1 if len(self.train_loader) > 1 else 0  # 1-batch epochs
         step0 = int(self.state.step)  # one fetch per epoch
