@@ -341,3 +341,7 @@ def make_synthetic_dataset(root: str, n_images: int = 8, feat_dim: int = 2054,
             json.dump(caps, f)
     with open(os.path.join(root, "test_img_keys.tsv"), "w") as f:
         f.write("\n".join(str(k) for k in keys))
+    # the 1k-protocol subset file (real COCO ships test_img_keys_1k.tsv
+    # alongside the 5k file, ref:alad/README.md:88-94): first half here
+    with open(os.path.join(root, "test_img_keys_1k.tsv"), "w") as f:
+        f.write("\n".join(str(k) for k in keys[: max(len(keys) // 2, 1)]))

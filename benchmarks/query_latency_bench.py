@@ -39,8 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from aladin_tpu.eval.latency import serial_query_latency
 from aladin_tpu.eval.search import build_corpus, search
-from aladin_tpu.ops.alignment import alignment_scores
 
 
 def main() -> int:
@@ -80,64 +80,16 @@ def main() -> int:
     queries, q_lens = cap, cap_len
 
     # ---- serial per-query latency: chained single-query searches ---------
-    # corpus is an ARGUMENT (not a closure capture): closed-over arrays are
-    # baked into the jaxpr as constants - a 20k-image corpus would embed
-    # ~2.6 GB into every compiled scan
-    def serial_scan(mode):
-        @jax.jit
-        def run(qs, ql, corpus):
-            def matching(q, l):
-                sims = q[0] @ corpus.globals.T
-                return jax.lax.top_k(sims, 10)
-
-            def two_stage(q, l):
-                sims = q[0] @ corpus.globals.T
-                _, short = jax.lax.top_k(sims, ns.shortlist)
-                cands = jnp.take(corpus.token_sets, short, axis=0)
-                clens = jnp.take(corpus.lengths, short)
-                a = alignment_scores(
-                    cands, q[None], clens, l[None], "MrSw", normalized=True
-                )[:, 0]
-                s, pos = jax.lax.top_k(a, 10)
-                return s, jnp.take(short, pos)
-
-            def full_alignment(q, l):
-                a = alignment_scores(
-                    corpus.token_sets, q[None], corpus.lengths, l[None],
-                    "MrSw", normalized=True,
-                )[:, 0]
-                return jax.lax.top_k(a, 10)
-
-            fn = {"matching": matching, "two_stage": two_stage,
-                  "full_alignment": full_alignment}[mode]
-
-            def body(carry, x):
-                q, l = x
-                # data-depend on the previous result so steps cannot overlap
-                s, idx = fn(q + carry * 0.0, l)
-                return s[0], idx[0]
-
-            _, tops = jax.lax.scan(body, jnp.float32(0), (qs, ql))
-            return tops
-
-        return run
-
+    # (shared measurement engine — eval/latency.py — so cli/parity and this
+    # bench quote the same definition of "serial per-query latency")
     results = {}
-    qs = queries[: ns.serial].astype(jnp.float32)
-    ql = q_lens[: ns.serial]
     for mode in ("matching", "two_stage", "full_alignment"):
-        run = serial_scan(mode)
-        int(run(qs, ql, corpus)[-1])  # compile + warm tunnel AND the fetch plan
-        best = float("inf")
-        for _ in range(3):  # min-of-3: the first post-compile execution can
-            t0 = time.time()  # carry one-time relay overhead (~0.35 s)
-            int(run(qs, ql, corpus)[-1])
-            best = min(best, time.time() - t0 - rt)
-        if best <= 0:  # whole scan finished under the relay round-trip:
-            results[f"{mode}_serial_s_per_query"] = None  # below measurement floor
-            results[f"{mode}_serial_note"] = "below measurement floor (dt <= rt)"
-        else:
-            results[f"{mode}_serial_s_per_query"] = best / ns.serial
+        s_per_q, note = serial_query_latency(
+            corpus, queries, q_lens, mode=mode, shortlist=ns.shortlist,
+            n_serial=ns.serial, host_rt=rt)
+        results[f"{mode}_serial_s_per_query"] = s_per_q
+        if note:
+            results[f"{mode}_serial_note"] = note
 
     # ---- batched throughput: all captions in one program ------------------
     for mode, kw in (
@@ -162,7 +114,9 @@ def main() -> int:
             results[f"{mode}_batched_s_per_query"] = dt / n_q
             results[f"{mode}_batched_qps"] = n_q / dt
 
-    base_match, base_align = 0.023, 0.098  # ref plot_efficiency_vs_effectiveness.py:13
+    from aladin_tpu.eval.latency import REF_ALIGNMENT_S, REF_MATCHING_S
+
+    base_match, base_align = REF_MATCHING_S, REF_ALIGNMENT_S
     _m = results["matching_serial_s_per_query"]
     _a = results["full_alignment_serial_s_per_query"]
     results["vs_ref_matching_serial_x"] = base_match / _m if _m else None
