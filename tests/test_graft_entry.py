@@ -29,7 +29,10 @@ def test_dryrun_multichip_driver_contract():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "dryrun_multichip(n=8)" in r.stdout and "OK" in r.stdout, r.stdout
+    assert "dryrun_multichip(n=8)" in r.stdout, r.stdout
+    # the dryrun must attest the whole multichip story, not just training
+    for stage in ("train OK", "eval OK", "search OK"):
+        assert stage in r.stdout, (stage, r.stdout)
 
 
 @pytest.mark.slow
