@@ -78,6 +78,17 @@ class BertImgConfig:
     # for from-scratch / finetune training where bit-parity with released
     # erf checkpoints is not required.
     hidden_act: str = "gelu"
+    # TPU-native EXPERIMENT, measured and kept OFF: fuse each residual-add
+    # + LayerNorm into one Pallas VMEM pass with an analytic custom_vjp
+    # backward (ops/pallas/layernorm.py). Chip A/B (round 4): train step
+    # NEUTRAL (B=128 116.0->117.5 ms, B=32 41.5->41.2 — XLA already fuses
+    # the residual+LN chain); 25k-row encode 22% SLOWER (6.79->8.28 s).
+    # With quant_matmuls it additionally routes the activation quantize
+    # into the LN epilogue feeding pre-quantized int8 to the W8A8 GEMMs —
+    # also measured SLOWER than the in-GEMM dynamic quantize (9.45 vs
+    # ~6.7 s encode), making bf16 the third-time-confirmed encode winner.
+    # The knob stays for profiling/ablation; defaults ship the XLA path.
+    fused_layernorm: bool = False
     # TPU-native: compute Q/K/V as one (D, 3D) GEMM over trace-time
     # concatenated kernels (param tree unchanged, math identical - the three
     # kernels are independent column blocks). Same-process chip A/B at
@@ -104,20 +115,16 @@ def _dense_init(cfg: BertImgConfig):
 def _ffn_act(x: Array, name: str) -> Array:
     """The configured FFN activation (see BertImgConfig.hidden_act)."""
     if name == "gelu":
-        return jax.nn.gelu(x, approximate=False)  # exact erf, BERT-era
+        # exact erf, BERT-era. An analytic custom_vjp (ops/activations.py)
+        # was chip-A/B'd at B=128: NEUTRAL (110.9 vs 110.9 ms/step, same
+        # loss) — JAX's erfc derivative rule already uses exp(-x^2) and XLA
+        # keeps the forward's erfc as a residual, so autodiff never
+        # re-evaluates it. The erf-vs-tanh gap lives in the FORWARD
+        # polynomial; plain autodiff stays the default.
+        return jax.nn.gelu(x, approximate=False)
     if name == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
     raise ValueError(f"unknown hidden_act {name!r} (gelu | gelu_tanh)")
-
-
-def _proj_cls(cfg: BertImgConfig):
-    """Dense class for the FLOP-carrying encoder projections: nn.Dense, or
-    its int8 W8A8 drop-in when cfg.quant_matmuls (eval/serving)."""
-    if cfg.quant_matmuls:
-        from aladin_tpu.models.quant import QuantDense
-
-        return QuantDense
-    return nn.Dense
 
 
 class _ProjParams(nn.Module):
@@ -146,7 +153,8 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
+    def __call__(self, x: Array, bias: Array, deterministic: bool,
+                 x_q8: Optional[Tuple[Array, Array]] = None) -> Tuple[Array, Array]:
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
         if cfg.quant_matmuls or cfg.fused_qkv:
@@ -166,7 +174,14 @@ class BertSelfAttention(nn.Module):
             ]
             wcat = jnp.concatenate([p[0] for p in parts], axis=1)
             bcat = jnp.concatenate([p[1] for p in parts])
-            if cfg.quant_matmuls:
+            if cfg.quant_matmuls and x_q8 is not None:
+                # activations quantized upstream by the fused-LN epilogue
+                # (ops/pallas/layernorm.py) — the GEMM runs pure int8 MXU
+                from aladin_tpu.models.quant import w8a8_apply_xq
+
+                qkv = w8a8_apply_xq(x_q8[0], x_q8[1], wcat, bcat,
+                                    out_dtype=self.dtype)
+            elif cfg.quant_matmuls:
                 from aladin_tpu.models.quant import w8a8_apply
 
                 qkv = w8a8_apply(x, wcat, bcat, out_dtype=self.dtype)
@@ -196,17 +211,57 @@ class BertSelfAttention(nn.Module):
         return ctx, probs
 
 
+class _ResidualLN(nn.Module):
+    """``LayerNorm(x + res)`` with an nn.LayerNorm-identical param pair
+    (scale, bias) so checkpoints are oblivious to the kernel choice.
+
+    Routes to the fused Pallas kernel (ops/pallas/layernorm.py) when
+    cfg.fused_layernorm; ``emit_q8`` additionally returns the int8
+    per-row quantization of the output for the W8A8 GEMMs downstream."""
+
+    epsilon: float
+    dtype: Any
+    fused: bool
+    emit_q8: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, res: Array):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (d,), jnp.float32)
+        from aladin_tpu.ops.pallas.layernorm import (
+            residual_layernorm, residual_layernorm_q8)
+
+        impl = "auto" if self.fused else "xla"
+        if self.emit_q8:
+            y, q, s = residual_layernorm_q8(x.astype(self.dtype),
+                                            res.astype(self.dtype),
+                                            scale, bias, self.epsilon, impl)
+            return y, (q, s)
+        return residual_layernorm(x.astype(self.dtype), res.astype(self.dtype),
+                                  scale, bias, self.epsilon, impl), None
+
+
 class BertLayer(nn.Module):
-    """One post-LN BERT encoder layer."""
+    """One post-LN BERT encoder layer.
+
+    ``x_q8`` (quant serving mode only) is the int8 quantization of ``x``
+    produced by the PREVIOUS layer's output-LN epilogue (or the layer-0
+    seed); the layer likewise returns its own output's (q, s) so the next
+    layer's QKV GEMM never re-reads or re-quantizes the hidden state."""
 
     cfg: BertImgConfig
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, bias: Array, deterministic: bool) -> Tuple[Array, Array]:
+    def __call__(self, x: Array, bias: Array, deterministic: bool,
+                 x_q8: Optional[Tuple[Array, Array]] = None):
         cfg = self.cfg
+        # LN-epilogue int8 experiment: only when BOTH knobs are on (see
+        # the fused_layernorm config-field comment for the measured verdict)
+        quant_ln = cfg.quant_matmuls and cfg.fused_layernorm
         ctx, probs = BertSelfAttention(cfg, self.dtype, name="attention")(
-            x, bias, deterministic
+            x, bias, deterministic, x_q8
         )
         # attention_output and the FFN down-projection stay bf16 even in
         # quant mode: chip-measured, int8 LOSES there (N=768 GEMMs are too
@@ -218,26 +273,47 @@ class BertLayer(nn.Module):
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="attention_output"
         )(ctx)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(attn_out, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_layernorm")(
-            x + attn_out
-        )
+        if cfg.fused_layernorm:
+            x, ln1_q8 = _ResidualLN(cfg.layer_norm_eps, self.dtype, fused=True,
+                                    emit_q8=quant_ln, name="attention_layernorm")(x, attn_out)
+        else:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="attention_layernorm")(x + attn_out)
+            ln1_q8 = None
         # configured gelu variant (cfg.hidden_act); on the quant path it
         # rides the GEMM kernel's fused epilogue instead of a separate HBM pass
-        inter_kw = {"activation": cfg.hidden_act} if cfg.quant_matmuls else {}
-        inter = _proj_cls(cfg)(
-            cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
-            name="intermediate", **inter_kw
-        )(x)
-        if not cfg.quant_matmuls:
+        if quant_ln:
+            from aladin_tpu.models.quant import w8a8_apply_xq
+
+            ik, ib = _ProjParams(cfg.intermediate_size, cfg.hidden_size,
+                                 _dense_init(cfg), name="intermediate")()
+            inter = w8a8_apply_xq(ln1_q8[0], ln1_q8[1], ik, ib,
+                                  activation=cfg.hidden_act, out_dtype=self.dtype)
+        elif cfg.quant_matmuls:
+            from aladin_tpu.models.quant import QuantDense
+
+            inter = QuantDense(
+                cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
+                name="intermediate", activation=cfg.hidden_act,
+            )(x)
+        else:
+            inter = nn.Dense(
+                cfg.intermediate_size, dtype=self.dtype, kernel_init=_dense_init(cfg),
+                name="intermediate",
+            )(x)
             inter = _ffn_act(inter, cfg.hidden_act)
         out = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init(cfg), name="output"
         )(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_layernorm")(
-            x + out
-        )
-        return x, probs
+        if cfg.fused_layernorm:
+            x, ln2_q8 = _ResidualLN(cfg.layer_norm_eps, self.dtype, fused=True,
+                                    emit_q8=quant_ln, name="output_layernorm")(x, out)
+        else:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="output_layernorm")(x + out)
+            ln2_q8 = None
+        return x, probs, ln2_q8
 
 
 class BertImgModel(nn.Module):
@@ -296,10 +372,21 @@ class BertImgModel(nn.Module):
             # static_argnums counts self at 0: (x, bias, deterministic) -> 3
             layer_cls = nn.remat(BertLayer, static_argnums=(3,))
 
+        # LN-epilogue quant experiment (quant_matmuls + fused_layernorm):
+        # seed the int8 activation stream for layer 0's QKV; every layer's
+        # output-LN epilogue re-quantizes for the next one
+        # (ops/pallas/layernorm.py — quantize off the GEMM critical path)
+        x_q8 = None
+        if cfg.quant_matmuls and cfg.fused_layernorm:
+            from aladin_tpu.ops.pallas.layernorm import layernorm_q8
+
+            x_q8 = layernorm_q8(x.astype(self.dtype))
+
         hidden_states = [x]
         attentions = []
         for i in range(cfg.num_hidden_layers):
-            x, probs = layer_cls(cfg, self.dtype, name=f"layer_{i}")(x, bias, deterministic)
+            x, probs, x_q8 = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
+                x, bias, deterministic, x_q8)
             if output_hidden_states:
                 hidden_states.append(x)
             if output_attentions:

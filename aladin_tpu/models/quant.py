@@ -82,6 +82,48 @@ def w8a8_apply(x: Array, kernel: Array, bias: Array, *,
     return y.astype(out_dtype)
 
 
+def w8a8_apply_xq(xq: Array, xscale: Array, kernel: Array, bias: Array, *,
+                  activation: str | None = None, out_dtype=jnp.bfloat16) -> Array:
+    """W8A8 dense over PRE-quantized activations ``(xq int8, xscale f32)``.
+
+    The production serving encoder gets its quantized activations from the
+    fused residual-LayerNorm kernel's epilogue
+    (ops/pallas/layernorm.residual_layernorm_q8) — the quantize never sits
+    on the GEMM's critical path (round 3 measured that serialization
+    costing more than the 2x int8 MXU rate won). Same math as
+    ``w8a8_apply``; weight quantization happens here (XLA hoists it out of
+    encode loops as loop-invariant)."""
+    if activation not in (None, "gelu", "gelu_tanh"):
+        raise ValueError(f"unknown activation {activation!r} "
+                         "(None | 'gelu' | 'gelu_tanh')")
+    d_in, d_out = kernel.shape
+    lead = xq.shape[:-1]
+    q2 = xq.reshape(-1, d_in)
+    s2 = xscale.reshape(-1, 1)
+    wq, ws = quantize_rowwise(kernel.astype(jnp.float32), axis=0)
+    use_pallas = (
+        jax.default_backend() == "tpu" and d_in % 128 == 0 and d_out % 128 == 0
+    )
+    if use_pallas:
+        from aladin_tpu.ops.pallas.quant_matmul import w8a8_matmul
+
+        y = w8a8_matmul(q2, s2, wq, ws.astype(jnp.float32),
+                        bias.astype(jnp.float32).reshape(1, -1),
+                        activation=activation, out_dtype=out_dtype)
+    else:
+        y = jax.lax.dot_general(
+            q2, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * s2 * ws + bias.astype(jnp.float32)
+        if activation == "gelu":
+            y = jax.nn.gelu(y, approximate=False)
+        elif activation == "gelu_tanh":
+            y = jax.nn.gelu(y, approximate=True)
+        y = y.astype(out_dtype)
+    return y.reshape(*lead, d_out)
+
+
 class QuantDense(nn.Module):
     """nn.Dense-compatible W8A8 dynamic-quantized projection (see
     ``w8a8_apply`` for the compute contract and kernel routing)."""

@@ -1,23 +1,22 @@
-"""Exact-erf GELU with an analytic custom VJP.
+"""Exact-erf GELU with an analytic custom VJP — a MEASURED DEAD-END kept
+as a library utility.
 
-The FFN activation dominates the non-GEMM cost of the train step on TPU:
-the VPU evaluates ``erfc`` as a long polynomial, and under default autodiff
-the backward pass RE-evaluates it (JAX saves only ``x``; the cotangent
-needs cdf(x) again) on top of the ``exp`` the true derivative requires —
-chip-measured 38.4 ms fwd+bwd vs 14.1 fwd for the 12x(B=128) FFN stack.
+Hypothesis (round 3): autodiff's gelu backward re-evaluates the ``erfc``
+polynomial, so an analytic VJP (save the forward's erfc term, backward =
+cdf(x) + x*pdf(x), one ``exp``) should reclaim most of the erf-vs-tanh
+train-step gap.
 
-This version keeps the forward bit-identical to
-``jax.nn.gelu(x, approximate=False)`` (same expression, same dtype
-discipline — checkpoint-parity safe, locked by tests/test_activations.py)
-and saves the already-computed ``erfc`` term as a residual, so the
-backward is just the analytic derivative
-
-    gelu'(x) = cdf(x) + x * pdf(x),   pdf(x) = exp(-x^2/2) / sqrt(2*pi)
-
-— one ``exp`` and a few multiplies, no second ``erfc``. Cost: one extra
-(B, S, 4H) residual in the activation footprint (bf16: same size as the
-saved input; under jax.checkpoint the residual is rematerialized, not
-stored, so the memory knobs keep working).
+Chip A/B (round 4, same process, B=128 full train step): **neutral** —
+110.9 ms/step both ways, bit-identical loss. Explanation: JAX's erfc
+derivative rule is already ``-2/sqrt(pi) * exp(-x^2)`` (no erfc re-eval),
+and XLA keeps the forward's erfc value as a residual on its own; the
+erf-vs-tanh gap lives in the FORWARD polynomial, which no VJP can touch.
+The backbone therefore keeps plain ``jax.nn.gelu`` (models/bert_img.py);
+this module stays because its forward is locked bit-identical to
+``jax.nn.gelu(x, approximate=False)`` and its gradients are verified
+against autodiff (tests/test_activations.py), making it a safe drop-in
+anywhere an explicit-residual gelu is wanted (e.g. custom remat policies
+that want to keep the erfc term but not recompute it).
 """
 
 from __future__ import annotations

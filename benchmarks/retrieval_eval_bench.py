@@ -87,6 +87,9 @@ def main() -> int:
                    help="backbone FFN activation; gelu_tanh = the TPU-fast "
                         "tanh approximation (serving option - scores shift "
                         "by the ~1e-3 gelu approximation error)")
+    p.add_argument("--fused_layernorm", action="store_true",
+                   help="fused residual+LayerNorm Pallas kernel "
+                        "(BertImgConfig.fused_layernorm)")
     p.add_argument("--int8_encoder", action="store_true",
                    help="encode with W8A8 quantized projection matmuls "
                         "(BertImgConfig.quant_matmuls — the cli/test "
@@ -110,6 +113,7 @@ def main() -> int:
          "training": {"loss-type": "alignment-distillation", "loss-weights": [1, 1]}}
     )
     bert_cfg = BertImgConfig(quant_matmuls=ns.int8_encoder,
+                             fused_layernorm=ns.fused_layernorm,
                              hidden_act=ns.hidden_act)  # full VinVL-base
     model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
     params = model.init(

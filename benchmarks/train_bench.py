@@ -59,6 +59,9 @@ def main() -> int:
     p.add_argument("--model", default="base", choices=["base", "large"],
                    help="VinVL-base (12x768) or VinVL/Oscar-large (24x1024, "
                         "16 heads, 4096 FFN - the model-zoo large variant)")
+    p.add_argument("--fused_layernorm", action="store_true",
+                   help="fused residual+LayerNorm Pallas kernel with the "
+                        "analytic custom_vjp (BertImgConfig.fused_layernorm)")
     p.add_argument("--hidden_act", default="gelu", choices=["gelu", "gelu_tanh"],
                    help="backbone FFN activation; 'gelu_tanh' is the TPU-fast "
                         "tanh approximation (model.hidden-act in the YAML)")
@@ -72,6 +75,7 @@ def main() -> int:
                      num_attention_heads=16, intermediate_size=4096)
         bert_cfg = BertImgConfig(remat=b >= (128 if ns.model == "large" else 512),
                                  hidden_act=ns.hidden_act,
+                                 fused_layernorm=ns.fused_layernorm,
                                  **(large if ns.model == "large" else {}))
         model = ALADIN(cfg, bert_cfg, dtype=jnp.bfloat16)
         batch = synth_batch(jax.random.PRNGKey(0), b, 50, 34,
