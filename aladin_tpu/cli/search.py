@@ -167,7 +167,10 @@ def _cmd_build(ns) -> int:
         "args": dataclasses.asdict(args),
         "checkpoint": ns.load_checkpoint,
         "split": ns.test_split,
-        "img_keys": [int(k) for k in ds.img_keys],
+        # int where possible (COCO ids), str otherwise (e.g. open-images
+        # hashes) — JSON carries either, _format_hits is key-type agnostic
+        "img_keys": [int(k) if str(k).lstrip("-").isdigit() else str(k)
+                     for k in ds.img_keys],
         "captions": captions,
     }
     save_index(ns.index_dir, img_embs, cap_embs, img_lens, cap_lens, meta,

@@ -59,7 +59,10 @@ def _ln_rows(h: Array, g: Array, b: Array, eps: float):
 def _quantize_rows(y: Array):
     """Per-row symmetric absmax int8 — same math as models/quant.quantize_rowwise."""
     absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) * jnp.float32(1.0 / 127.0)
+    # EXACTLY models/quant.quantize_rowwise's expression (division, not a
+    # reciprocal multiply — the two can differ by 1 ulp of scale, which
+    # moves a quantized value by a whole step for some absmax values)
+    scale = jnp.maximum(absmax, 1e-8) / jnp.float32(127.0)
     q = jnp.clip(jnp.round(y / scale), -127, 127).astype(jnp.int8)
     return q, scale
 
@@ -87,7 +90,10 @@ def _pallas_ln(x2, res2, gamma, beta, eps, *, want_stats, want_q8,
                out_dtype, block_m=256, interpret=False):
     """Shared pallas_call builder over flattened (M, D) operands."""
     m, d = x2.shape
-    bm = min(block_m, -(-m // 8) * 8)
+    # round the row block to 32 (as quant_matmul does): covers the native
+    # sublane tile of every output dtype here (8 f32 / 16 bf16 / 32 int8),
+    # so small-M shapes can't hand Mosaic a fractional tile
+    bm = min(block_m, -(-m // 32) * 32)
     pad_m = (-m) % bm
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
@@ -181,11 +187,11 @@ def _rln_fwd_impl(x, res, gamma, beta, eps, impl):
 
 def _rln_fwd(x, res, gamma, beta, eps, impl):
     y, mean, rstd = _rln_fwd_impl(x, res, gamma, beta, eps, impl)
-    return y, (x, res, gamma, mean, rstd)
+    return y, (x, res, gamma, beta, mean, rstd)
 
 
 def _rln_bwd(eps, impl, residuals, gy):
-    x, res, gamma, mean, rstd = residuals
+    x, res, gamma, beta, mean, rstd = residuals
     d = x.shape[-1]
     h = (x.astype(jnp.float32) + res.astype(jnp.float32)).reshape(-1, d)
     xhat = (h - mean) * rstd
@@ -193,10 +199,13 @@ def _rln_bwd(eps, impl, residuals, gy):
     gg = g * gamma.astype(jnp.float32).reshape(1, d)
     m1 = jnp.mean(gg, axis=1, keepdims=True)
     m2 = jnp.mean(gg * xhat, axis=1, keepdims=True)
-    dh = (rstd * (gg - m1 - xhat * m2)).astype(x.dtype).reshape(x.shape)
+    dh32 = (rstd * (gg - m1 - xhat * m2)).reshape(x.shape)
+    # cotangents take each primal's OWN dtype (x and res may differ)
+    dx = dh32.astype(x.dtype)
+    dres = dh32.astype(res.dtype)
     dgamma = jnp.sum(g * xhat, axis=0).astype(gamma.dtype)
-    dbeta = jnp.sum(g, axis=0).astype(gamma.dtype)
-    return dh, dh, dgamma, dbeta
+    dbeta = jnp.sum(g, axis=0).astype(beta.dtype)
+    return dx, dres, dgamma, dbeta
 
 
 residual_layernorm.defvjp(_rln_fwd, _rln_bwd)
