@@ -306,10 +306,19 @@ class RetrievalDataset:
 
 
 def make_synthetic_dataset(root: str, n_images: int = 8, feat_dim: int = 2054,
-                           seed: int = 0, max_boxes: int = 20) -> None:
+                           seed: int = 0, max_boxes: int = 20,
+                           distinguishable: bool = False) -> None:
     """Write a tiny on-disk fixture with the reference's file layout
     (features.tsv + lineidx, imageid2idx.json, {split}_captions.json,
-    predictions.tsv) for tests and the --synthetic CLI path."""
+    predictions.tsv) for tests and the --synthetic CLI path.
+
+    ``distinguishable=True`` makes the corpus MEMORIZABLE: every caption
+    uniquely identifies its image (the image index is spelled digit-by-digit
+    so the synthetic fallback vocab covers it), so a correctly-wired model
+    can drive retrieval rsum to its 600 ceiling by memorization. This is the
+    corpus behind the convergence gate (tests/test_convergence.py) — the
+    default corpus reuses caption sets across images (any two keys congruent
+    mod len(nouns) share all 5 captions), capping achievable recall."""
     import base64
 
     from aladin_tpu.data.tsv import write_tsv
@@ -333,10 +342,17 @@ def make_synthetic_dataset(root: str, n_images: int = 8, feat_dim: int = 2054,
     with open(os.path.join(root, "imageid2idx.json"), "w") as f:
         json.dump(id2idx, f)
     for split in ("train", "minival", "test"):
-        caps = {
-            k: [f"a photo of a {nouns[(k + j) % len(nouns)]} number {j}" for j in range(5)]
-            for k in keys
-        }
+        if distinguishable:
+            caps = {
+                k: [f"a photo of the {nouns[(k - 100) % len(nouns)]} number "
+                    f"{' '.join(str(k - 100))} {j}" for j in range(5)]
+                for k in keys
+            }
+        else:
+            caps = {
+                k: [f"a photo of a {nouns[(k + j) % len(nouns)]} number {j}" for j in range(5)]
+                for k in keys
+            }
         with open(os.path.join(root, f"{split}_captions.json"), "w") as f:
             json.dump(caps, f)
     with open(os.path.join(root, "test_img_keys.tsv"), "w") as f:
