@@ -74,6 +74,12 @@ def add_shared_flags(p: argparse.ArgumentParser) -> None:
                         "--profile_steps post-compile train steps into this "
                         "directory (SURVEY.md S5.1)")
     p.add_argument("--profile_steps", type=int, default=5)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="run K train steps per host dispatch as one on-device "
+                        "lax.scan over a host-stacked batch window (identical "
+                        "math; amortizes per-step dispatch latency — the "
+                        "dominant cost at bs=32). log/val cadences fire at "
+                        "window boundaries")
 
 
 def to_data_args(ns: argparse.Namespace) -> DataArgs:

@@ -290,5 +290,6 @@ class DataArgs:
     synthetic: bool = False  # tiny on-disk dataset + random small backbone
     profile_dir: str = ""  # JAX profiler trace of the first post-compile steps
     profile_steps: int = 5
+    steps_per_dispatch: int = 1  # K train steps per host dispatch (lax.scan window)
     ndcg: bool = False  # NDCG@25 from precomputed relevance matrices
     int8_encoder: bool = False  # W8A8 encoder matmuls (eval/serving only)

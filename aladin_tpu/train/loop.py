@@ -32,7 +32,7 @@ from aladin_tpu.eval.recall import compute_recall
 from aladin_tpu.eval.retrieval import evaluate_alignment_head
 from aladin_tpu.io.checkpoint import save_checkpoint
 from aladin_tpu.train.schedule import make_lr_schedule
-from aladin_tpu.train.step import make_eval_step, make_train_step
+from aladin_tpu.train.step import make_eval_step, make_multi_train_step, make_train_step
 from aladin_tpu.utils.logging import AverageMeter, LogCollector, make_tb_writer, setup_logger
 from aladin_tpu.utils.rng import make_training_key
 
@@ -62,6 +62,9 @@ class Trainer:
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
 
+        self.steps_per_dispatch = max(1, int(getattr(args, "steps_per_dispatch", 1)))
+        if self.steps_per_dispatch > 1:
+            self.multi_step = make_multi_train_step(model, cfg)
         self.train_step = make_train_step(model, cfg)
         self.eval_step = make_eval_step(model)
         self.lr_schedule = make_lr_schedule(cfg.training, max(len(train_loader), 1))
@@ -90,21 +93,31 @@ class Trainer:
         ~25 ms - per-step fetching was >50% overhead at B=32). TensorBoard
         still receives every step's scalars, written at flush time; the
         global step is tracked on host (state.step is only read on device).
+
+        --steps_per_dispatch K > 1 additionally amortizes the DISPATCH: K
+        batches are host-stacked and run as one on-device lax.scan
+        (make_multi_train_step — bit-identical math, test-locked), so the
+        host pays one dispatch + one transfer per K steps. log_step and
+        val_step then fire at window boundaries (each stays >= its
+        configured cadence). The epoch remainder (len % K) runs as one
+        shorter scan — one extra compile the first time that size occurs.
         """
         batch_time, data_time = AverageMeter(), AverageMeter()
         collector = LogCollector()
         epoch_dev = jnp.int32(epoch)
+        k = self.steps_per_dispatch
         # --profile_dir: trace steps [1, 1+profile_steps) of the first epoch
         # this Trainer runs (step 0 is compile; tracing it drowns the steady
-        # state). One capture per process.
+        # state). One capture per process. Windowed mode traces the windows
+        # covering those steps.
         prof_dir = getattr(self.args, "profile_dir", "")
         prof_steps = int(getattr(self.args, "profile_steps", 5))
         if prof_dir and prof_steps < 1:
             raise ValueError(f"--profile_steps must be >= 1, got {prof_steps}")
         prof_active = False
-        prof_start = 1 if len(self.train_loader) > 1 else 0  # 1-batch epochs
+        prof_start = 1 if len(self.train_loader) > k else 0  # 1-dispatch epochs
         step0 = int(self.state.step)  # one fetch per epoch
-        pending = []  # [(global_step, batch_idx, device metrics)]
+        pending = []  # [(global_steps, batch_idxs, device metrics)]
         window_start = time.time()
 
         def flush(i):
@@ -115,18 +128,19 @@ class Trainer:
             # lr values for the window in ONE device round trip (the
             # schedule is jnp math; per-step float() would be one ~25 ms
             # fetch each, re-adding the overhead this batching removes)
-            gsteps = [g for g, _, _ in pending]
-            lrs = np.asarray(jax.vmap(self.lr_schedule)(jnp.asarray(gsteps)))
+            gsteps = [g for gs, _, _ in pending for g in gs]
+            lrs = iter(np.asarray(jax.vmap(self.lr_schedule)(jnp.asarray(gsteps))))
             elapsed = time.time() - window_start
-            batch_time.update(elapsed / len(pending), n=len(pending))
-            for (gstep, bi, _), m, lr in zip(pending, fetched, lrs):
-                for k, v in m.items():
-                    collector.update(k, float(v), n=1)
-                self.tb.add_scalar("epoch", epoch, gstep)
-                self.tb.add_scalar("step", bi, gstep)
-                self.tb.add_scalar("lr", float(lr), gstep)
-                collector.tb_log(self.tb, step=gstep)
-            last = pending[-1][0]
+            batch_time.update(elapsed / len(gsteps), n=len(gsteps))
+            for (gs, bis, _), m in zip(pending, fetched):
+                for j, (gstep, bi) in enumerate(zip(gs, bis)):
+                    for key, v in m.items():
+                        collector.update(key, float(v if np.ndim(v) == 0 else v[j]), n=1)
+                    self.tb.add_scalar("epoch", epoch, gstep)
+                    self.tb.add_scalar("step", bi, gstep)
+                    self.tb.add_scalar("lr", float(next(lrs)), gstep)
+                    collector.tb_log(self.tb, step=gstep)
+            last = gsteps[-1]
             self.tb.add_scalar("batch_time", batch_time.val, last)
             self.tb.add_scalar("data_time", data_time.val, last)
             pending.clear()
@@ -136,30 +150,96 @@ class Trainer:
                 f"Time {batch_time}\tData {data_time}"
             )
 
-        end = time.time()
-        for i, batch in enumerate(self.train_loader.epoch(epoch)):
-            if prof_dir and not getattr(self, "_profiled", False):
-                if i == prof_start:
-                    jax.profiler.start_trace(prof_dir)
-                    prof_active = True
-                elif prof_active and i == prof_start + prof_steps:
-                    jax.block_until_ready(self.state.params)  # drain device
-                    jax.profiler.stop_trace()
-                    prof_active = False
-                    self._profiled = True
-                    self.logger.info(f"profiler trace ({prof_steps} steps) -> {prof_dir}")
-            data_time.update(time.time() - end, n=1)
-            self.state, metrics = self.train_step(self.state, batch, epoch_dev, self.rng)
-            gstep = step0 + i + 1
-            pending.append((gstep, i, metrics))
-            end = time.time()
+        def crossed(gstep, width, period):
+            # did a positive multiple of `period` land in (gstep-width, gstep]?
+            r = gstep % period
+            return r < width and r < gstep
 
-            if gstep % self.args.log_step == 0:
+        def maybe_validate(gstep, i, width):
+            if crossed(gstep, width, self.args.log_step):
                 flush(i)
-            if self.args.val_step > 0 and gstep % self.args.val_step == 0:
+            if self.args.val_step > 0 and crossed(gstep, width, self.args.val_step):
                 flush(i)
                 rsum, ndcg = self.validate()
                 self._checkpoint(epoch, rsum, ndcg)
+
+        ndisp = 0  # dispatches issued (profiling is per-dispatch)
+
+        def prof_tick():
+            nonlocal prof_active
+            if not prof_dir or getattr(self, "_profiled", False):
+                return
+            if ndisp == prof_start:
+                jax.profiler.start_trace(prof_dir)
+                prof_active = True
+            elif prof_active and (ndisp - prof_start) * k >= prof_steps:
+                jax.block_until_ready(self.state.params)  # drain device
+                jax.profiler.stop_trace()
+                prof_active = False
+                self._profiled = True
+                self.logger.info(f"profiler trace ({prof_steps} steps) -> {prof_dir}")
+
+        end = time.time()
+        if k == 1:
+            for i, batch in enumerate(self.train_loader.epoch(epoch)):
+                prof_tick()
+                data_time.update(time.time() - end, n=1)
+                self.state, metrics = self.train_step(
+                    self.state, batch, epoch_dev, self.rng)
+                ndisp += 1
+                gstep = step0 + i + 1
+                pending.append(([gstep], [i], metrics))
+                end = time.time()
+                maybe_validate(gstep, i, 1)
+        else:
+            window, widx = [], []
+            # batches stay on host until the window is full, then ONE
+            # transfer with the window sharding (leading scan axis
+            # replicated, batch axis dp-sharded exactly as single-step
+            # transfers are — same SPMD program layout, same reductions)
+            from aladin_tpu.data.pipeline import _make_put
+
+            self.train_loader.transfer = False
+            loader_sharding = getattr(self.train_loader, "sharding", None)
+            window_sharding = None
+            if loader_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                window_sharding = NamedSharding(
+                    loader_sharding.mesh, P(None, *loader_sharding.spec))
+            put_one = _make_put(loader_sharding)
+            put_win = _make_put(window_sharding)
+
+            def dispatch():
+                nonlocal ndisp
+                if not window:
+                    return
+                prof_tick()
+                if len(window) == 1:  # 1-step remainder: reuse the single step
+                    self.state, metrics = self.train_step(
+                        self.state, jax.tree.map(put_one, window[0]),
+                        epoch_dev, self.rng)
+                else:
+                    stacked = jax.tree.map(lambda *xs: np.stack(xs), *window)
+                    self.state, metrics = self.multi_step(
+                        self.state, jax.tree.map(put_win, stacked),
+                        epoch_dev, self.rng)
+                ndisp += 1
+                gsteps = [step0 + bi + 1 for bi in widx]
+                pending.append((gsteps, list(widx), metrics))
+                i, width = widx[-1], len(widx)
+                window.clear()
+                widx.clear()
+                maybe_validate(gsteps[-1], i, width)
+
+            for i, batch in enumerate(self.train_loader.epoch(epoch)):
+                data_time.update(time.time() - end, n=1)
+                window.append(batch)
+                widx.append(i)
+                if len(window) == k:
+                    dispatch()
+                end = time.time()
+            dispatch()  # epoch remainder
         if prof_active:  # epoch shorter than the trace window
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()

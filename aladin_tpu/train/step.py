@@ -163,6 +163,40 @@ def make_train_step(model: ALADIN, cfg: ExperimentConfig):
     return train_step
 
 
+def make_multi_train_step(model: ALADIN, cfg: ExperimentConfig):
+    """K steps per dispatch: jitted (state, batches, epoch, rng) ->
+    (state, metrics stacked [K]).
+
+    ``batches`` is a Batch whose every leaf carries a leading window axis
+    [K, ...]; the body is the SAME per-step update as make_train_step (same
+    rng fold on state.step, same Adam math), run as an on-device lax.scan —
+    so a K-window is bit-identical to K single dispatches (test-locked) while
+    paying ONE host dispatch + ONE transfer per window instead of K. This is
+    the amortization lever for the reference's own bs=32 regime
+    (ref:alad/configs/*.yaml all train at bs 32), where per-step dispatch
+    through the host dominates: the MXU finishes a 32-row step faster than
+    the host can issue the next one. K is a pure runtime knob
+    (--steps_per_dispatch); it never changes training semantics.
+    """
+    loss_fn = make_loss_fn(model, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches: Batch, epoch, rng):
+        def body(st, b):
+            r = jax.random.fold_in(rng, st.step)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, metrics), grads = grad_fn(st.params, b, epoch, r)
+            new_st = st.apply_gradients(grads)
+            metrics["grad_norm"] = jnp.sqrt(
+                sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads))
+            )
+            return new_st, metrics
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def make_eval_step(model: ALADIN):
     """Jitted deterministic forward -> AladinOutputs (encode_data's engine)."""
 

@@ -239,3 +239,31 @@ def test_training_key_impl_selection():
     cfg = ExperimentConfig.from_dict({"training": {"rng-impl": "threefry"}})
     assert cfg.training.rng_impl == "threefry"
     assert ExperimentConfig.from_dict(cfg.to_dict()).training.rng_impl == "threefry"
+
+
+def test_multi_step_dispatch_matches_single(rng):
+    """make_multi_train_step: one K=4 on-device scan window is BIT-IDENTICAL
+    to 4 single dispatches — same per-step rng fold on state.step, same Adam
+    math. This is what makes --steps_per_dispatch a pure runtime knob."""
+    from aladin_tpu.train.step import make_multi_train_step
+
+    model, cfg = make_model()
+    batches = [make_batch(np.random.RandomState(s)) for s in range(4)]
+    key = jax.random.PRNGKey(3)
+
+    state_a = init_state(model, cfg, batches[0])
+    step = make_train_step(model, cfg)
+    singles = []
+    for b in batches:
+        state_a, m = step(state_a, b, jnp.int32(0), key)
+        singles.append(float(m["loss"]))
+
+    state_b = init_state(model, cfg, batches[0])
+    multi = make_multi_train_step(model, cfg)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_b, mk = multi(state_b, stacked, jnp.int32(0), key)
+
+    assert int(state_b.step) == 4
+    np.testing.assert_array_equal(np.asarray(mk["loss"]), np.asarray(singles))
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
