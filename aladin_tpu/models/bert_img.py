@@ -96,6 +96,18 @@ class BertImgConfig:
     # scheduling interaction, not a robust win) - so OFF by default; a
     # tuning knob for a given config, not a recommendation.
     fused_qkv: bool = False
+    # TPU-native: one Pallas VMEM pass per batch row for the whole
+    # QK^T + bias + softmax + dropout + PV chain, all heads, with an exact
+    # recompute backward (ops/pallas/attention_kernel.py) — specialized to
+    # this backbone's <=134-token sequences (the regime where generic flash
+    # kernels lose 2.3x, round-3 measured rejection). Math identical at
+    # dropout 0 (test-locked); with dropout the mask comes from the TPU PRNG
+    # instead of the flax 'dropout' stream (same distribution, different
+    # draws — the rng_impl='rbg' precedent). Not compatible with
+    # output_attentions (the probs are never materialized); the encoder
+    # falls back to the XLA chain for that call. A/B numbers: README
+    # roofline paragraph.
+    fused_attention: bool = False
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "BertImgConfig":
@@ -198,6 +210,24 @@ class BertSelfAttention(nn.Module):
             q = dense("query")(x).reshape(*x.shape[:-1], h, d)
             k = dense("key")(x).reshape(*x.shape[:-1], h, d)
             v = dense("value")(x).reshape(*x.shape[:-1], h, d)
+        if cfg.fused_attention:
+            # one VMEM pass per batch row, no (B,H,Q,K) materialization, no
+            # layout transposes; probs are never formed (encoder guards
+            # output_attentions). Dropout mask from the TPU PRNG, seeded
+            # off the flax 'dropout' stream so steps/layers decorrelate.
+            from aladin_tpu.ops.pallas.attention_kernel import fused_attention
+
+            rate = float(cfg.attention_probs_dropout_prob)
+            train = not deterministic and rate > 0.0
+            seed = None
+            if train:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max)
+            ctx = fused_attention(
+                q, k, v, bias[:, 0].astype(jnp.float32), seed, rate, train,
+                interpret=jax.default_backend() != "tpu")
+            return ctx.reshape(*x.shape[:-1], cfg.hidden_size), None
+
         # scores: (B, H, Q, K)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(d, jnp.float32))
@@ -365,6 +395,12 @@ class BertImgModel(nn.Module):
             img = nn.Dropout(cfg.hidden_dropout_prob)(img, deterministic=deterministic)
             x = jnp.concatenate([x, img], axis=1)  # text first (ref :269)
 
+        if output_attentions and cfg.fused_attention:
+            raise ValueError(
+                "fused_attention never materializes the attention probs; "
+                "disable BertImgConfig.fused_attention for "
+                "output_attentions consumers (attention distillation, "
+                "probe tooling)")
         bias = additive_attention_bias(attention_mask, dtype=jnp.float32)
 
         layer_cls = BertLayer
