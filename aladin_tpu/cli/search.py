@@ -439,12 +439,20 @@ def _cmd_curve(ns) -> int:
 
 
 def main(argv=None) -> int:
+    from aladin_tpu.eval.index import IndexCompatError
+
     ns = _build_parser().parse_args(argv)
-    if ns.cmd == "build":
-        return _cmd_build(ns)
-    if ns.cmd == "query":
-        return _cmd_query(ns)
-    return _cmd_curve(ns)
+    try:
+        if ns.cmd == "build":
+            return _cmd_build(ns)
+        if ns.cmd == "query":
+            return _cmd_query(ns)
+        return _cmd_curve(ns)
+    except IndexCompatError as e:
+        # stale / foreign / corrupt index: a clear refusal, not a traceback
+        # (and never a silent garbage ranking)
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -232,9 +232,12 @@ def sharded_search(
     distributed-MIPS merge: EXACT for the matching-only stage (a global
     top-k is the merge of per-shard top-ks), and for the reranked result it
     is the per-shard retrieve-and-rerank approximation — each shard gets its
-    own ``shortlist`` budget, so the candidate pool is a superset of the
-    single-device pipeline's (equal results whenever ``shortlist`` covers
-    each shard, test-locked on the 8-device CPU mesh).
+    own ``shortlist`` budget, so the candidate pool is a SUPERSET of the
+    single-device pipeline's: equal results whenever ``shortlist`` covers
+    each shard, and where budgets bind the sharded top-k rerank scores
+    dominate the single-device ones pointwise (both bounds test-locked on
+    the 8-device CPU mesh, incl. an adversarial-placement divergence case —
+    tests/test_search.py::test_sharded_search_divergence_is_bounded).
 
     The corpus N axis pads to the mesh size; padded rows are masked to -inf
     at stage 1 so they can never enter a shortlist. HBM per device is

