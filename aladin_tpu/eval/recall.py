@@ -95,8 +95,27 @@ def _assemble(i2t_ranks, t2i_ranks) -> Dict[str, float]:
     return out
 
 
+# beyond this matrix footprint compute_recall auto-engages the streaming
+# counter sweep (eval/streaming.py): identical ranks (test-locked, same-K
+# matmul rounding), device memory = embeddings + one tile instead of the
+# (N_im, N_cap) f32 matrix. 4 GB leaves a v5e's HBM for the buffers; at
+# COCO scale (5k x 25k = 500 MB) the dense path stays engaged.
+STREAMING_SCORE_BYTES = 4 << 30
+
+
 def compute_recall(img_embs, cap_embs, captions_per_image: int = 5) -> Dict[str, float]:
-    """Both directions + rsum (ref:recall_auxiliary.py:72-86,133-148)."""
+    """Both directions + rsum (ref:recall_auxiliary.py:72-86,133-148).
+
+    Corpora whose (N_im, N_cap) f32 score matrix would exceed
+    ``STREAMING_SCORE_BYTES`` stream through eval/streaming.py (exact same
+    ranks, never materializing the matrix) — recall evaluation scales to
+    the same corpus sizes the serving stack handles."""
+    k = captions_per_image
+    n_cap = int(np.shape(cap_embs)[0])
+    if 4.0 * (n_cap // k) * n_cap > STREAMING_SCORE_BYTES:
+        from aladin_tpu.eval.streaming import streaming_matching_recall
+
+        return streaming_matching_recall(np.asarray(img_embs)[::k], cap_embs, k)
     return _assemble(*rank_metrics(
         jnp.asarray(img_embs), jnp.asarray(cap_embs), captions_per_image
     ))

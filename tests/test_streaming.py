@@ -134,3 +134,17 @@ def test_alignment_streaming_pallas_interpret_matches():
                                   interpret=True)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_compute_recall_auto_engages_streaming(globs, monkeypatch):
+    """compute_recall transparently streams past STREAMING_SCORE_BYTES —
+    same dict, no dense (N_im, N_cap) matrix (the caller-facing surface of
+    the beyond-HBM path)."""
+    import aladin_tpu.eval.recall as recall_mod
+
+    ims, caps = globs
+    dup = np.repeat(ims, CPI, axis=0)
+    want = recall_mod.compute_recall(dup, caps, CPI)
+    monkeypatch.setattr(recall_mod, "STREAMING_SCORE_BYTES", 1)
+    got = recall_mod.compute_recall(dup, caps, CPI)
+    assert got == want
