@@ -39,11 +39,8 @@ def _make_put(sharding):
     return lambda x: jax.device_put(x, sharding)
 
 
-def batch_from_numpy(d, sharding=None, transfer: bool = True) -> Batch:
-    """``transfer=False`` keeps the leaves as host numpy (the windowed
-    --steps_per_dispatch path stacks K batches first and transfers ONCE with
-    a window sharding — per-batch transfers would be fetched straight back)."""
-    put = np.asarray if not transfer else _make_put(sharding)
+def batch_from_numpy(d, sharding=None) -> Batch:
+    put = _make_put(sharding)
     return Batch(
         txt_ids=put(d["txt_ids"]),
         txt_mask=put(d["txt_mask"]),
@@ -122,7 +119,6 @@ class BatchLoader:
         self.num_threads = num_threads
         self.sort_by_length = sort_by_length
         self.trim_multiple = trim_multiple
-        self.transfer = True  # False: yield host batches (windowed dispatch)
         if sort_by_length and shuffle:
             raise ValueError(
                 "sort_by_length and shuffle are mutually exclusive: length "
@@ -172,7 +168,7 @@ class BatchLoader:
         def to_batch(d):
             if self.trim_multiple > 0:
                 d = trim_batch(d, self.trim_multiple)
-            return batch_from_numpy(d, self.sharding, self.transfer)
+            return batch_from_numpy(d, self.sharding)
 
         idx_iter = self._index_batches(epoch)
         if self.num_threads <= 1:

@@ -193,22 +193,12 @@ class Trainer:
                 maybe_validate(gstep, i, 1)
         else:
             window, widx = [], []
-            # batches stay on host until the window is full, then ONE
-            # transfer with the window sharding (leading scan axis
-            # replicated, batch axis dp-sharded exactly as single-step
-            # transfers are — same SPMD program layout, same reductions)
-            from aladin_tpu.data.pipeline import _make_put
-
-            self.train_loader.transfer = False
-            loader_sharding = getattr(self.train_loader, "sharding", None)
-            window_sharding = None
-            if loader_sharding is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                window_sharding = NamedSharding(
-                    loader_sharding.mesh, P(None, *loader_sharding.spec))
-            put_one = _make_put(loader_sharding)
-            put_win = _make_put(window_sharding)
+            # batches arrive DEVICE-RESIDENT through the loader's prefetch
+            # pipeline exactly as in the K=1 path (batch axis dp-sharded as
+            # usual) and are stacked into the scan window INSIDE the jitted
+            # multi step — keeping transfers overlapped with compute. A
+            # host-side stack + one big window transfer measured SLOWER
+            # than K=1 at the loop level (blocking transfer per window).
 
             def dispatch():
                 nonlocal ndisp
@@ -217,13 +207,10 @@ class Trainer:
                 prof_tick()
                 if len(window) == 1:  # 1-step remainder: reuse the single step
                     self.state, metrics = self.train_step(
-                        self.state, jax.tree.map(put_one, window[0]),
-                        epoch_dev, self.rng)
+                        self.state, window[0], epoch_dev, self.rng)
                 else:
-                    stacked = jax.tree.map(lambda *xs: np.stack(xs), *window)
                     self.state, metrics = self.multi_step(
-                        self.state, jax.tree.map(put_win, stacked),
-                        epoch_dev, self.rng)
+                        self.state, window, epoch_dev, self.rng)
                 ndisp += 1
                 gsteps = [step0 + bi + 1 for bi in widx]
                 pending.append((gsteps, list(widx), metrics))

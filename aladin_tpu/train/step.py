@@ -167,21 +167,32 @@ def make_multi_train_step(model: ALADIN, cfg: ExperimentConfig):
     """K steps per dispatch: jitted (state, batches, epoch, rng) ->
     (state, metrics stacked [K]).
 
-    ``batches`` is a Batch whose every leaf carries a leading window axis
-    [K, ...]; the body is the SAME per-step update as make_train_step (same
-    rng fold on state.step, same Adam math), run as an on-device lax.scan —
-    so a K-window is bit-identical to K single dispatches (test-locked) while
-    paying ONE host dispatch + ONE transfer per window instead of K. This is
-    the amortization lever for the reference's own bs=32 regime
-    (ref:alad/configs/*.yaml all train at bs 32), where per-step dispatch
-    through the host dominates: the MXU finishes a 32-row step faster than
-    the host can issue the next one. K is a pure runtime knob
-    (--steps_per_dispatch); it never changes training semantics.
+    ``batches`` is a TUPLE of K per-step Batch pytrees, stacked into the
+    lax.scan's window axis INSIDE the jitted program. The tuple form is
+    load-bearing: the loader's prefetch thread keeps transferring batches
+    one at a time, overlapped with compute, exactly as it does for single
+    dispatches — a host-side stack-then-transfer would serialize one big
+    blocking window transfer per dispatch and LOSE at the loop level
+    (measured on chip: 154 -> 200 ms/step at K=8 with host stacking).
+    The on-device stack is an HBM copy, noise next to a step.
+
+    The body is the SAME per-step update as make_train_step (same rng fold
+    on state.step, same Adam math), so a K-window is bit-identical to K
+    single dispatches (test-locked) while paying ONE host dispatch per
+    window instead of K — the amortization lever for the reference's own
+    bs=32 regime (ref:alad/configs/*.yaml all train at bs 32), where the
+    MXU finishes a 32-row step faster than the host can issue the next
+    one. K is a pure runtime knob (--steps_per_dispatch); it never changes
+    training semantics.
     """
     loss_fn = make_loss_fn(model, cfg)
 
+    # the window size is encoded in the input pytree structure (a K-tuple),
+    # so jit compiles one program per distinct K automatically
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi_step(state: TrainState, batches: Batch, epoch, rng):
+    def multi_step(state: TrainState, batches, epoch, rng):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
         def body(st, b):
             r = jax.random.fold_in(rng, st.step)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -192,9 +203,12 @@ def make_multi_train_step(model: ALADIN, cfg: ExperimentConfig):
             )
             return new_st, metrics
 
-        return jax.lax.scan(body, state, batches)
+        return jax.lax.scan(body, state, stacked)
 
-    return multi_step
+    def call(state, batches, epoch, rng):
+        return multi_step(state, tuple(batches), epoch, rng)
+
+    return call
 
 
 def make_eval_step(model: ALADIN):

@@ -97,8 +97,7 @@ def main() -> int:
             from aladin_tpu.train.step import make_multi_train_step
 
             multi = make_multi_train_step(model, cfg)
-            wbatch = jax.tree.map(
-                lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch)
+            wbatch = tuple(batch for _ in range(k))  # K refs, stacked in-jit
 
             def step(st, _b, ep, key):  # noqa: ANN001 - bench-local shim
                 st, m = multi(st, wbatch, ep, key)

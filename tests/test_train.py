@@ -260,8 +260,7 @@ def test_multi_step_dispatch_matches_single(rng):
 
     state_b = init_state(model, cfg, batches[0])
     multi = make_multi_train_step(model, cfg)
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-    state_b, mk = multi(state_b, stacked, jnp.int32(0), key)
+    state_b, mk = multi(state_b, batches, jnp.int32(0), key)
 
     assert int(state_b.step) == 4
     np.testing.assert_array_equal(np.asarray(mk["loss"]), np.asarray(singles))
