@@ -314,12 +314,17 @@ def streaming_alignment_ranks(
     use_pallas: Optional[bool] = None,
     interpret: Optional[bool] = None,
     compute_dtype=None,
+    mesh=None,
 ):
     """(i2t_ranks (N,), t2i_ranks (M,)) for the alignment head, streamed.
 
     img_sets: (M, S, D) encode buffers with images repeated per caption
     (dedup happens here, matching evaluate_alignment_head); cap_seqs may be
-    host numpy (blocks transfer one at a time).
+    host numpy (blocks transfer one at a time). ``mesh`` shards each caption
+    block over the devices (image buffers replicated, i2t counter partials
+    psum'd — the matching sweep's layout); GT stays the solo diagonal
+    harvest, which is rounding-consistent because the per-shard tile runs
+    the identical scorer on the identical pair operands.
     """
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
@@ -363,6 +368,11 @@ def streaming_alignment_ranks(
             jnp.asarray(cl_blk)))[: hi - lo]
     gt_flat = jnp.asarray(gt)
 
+    if mesh is not None:
+        return _mesh_alignment_sweep(
+            mesh, ims, il, cap_seqs, cl_np, gt_flat, cpi, cap_block,
+            aggregation, use_pallas, interpret, compute_dtype)
+
     # big buffers as explicit jit args, not closure constants (see
     # streaming_matching_ranks — the remote-compile payload limit)
     @jax.jit
@@ -385,6 +395,60 @@ def streaming_alignment_ranks(
 
     i2t, t2i, _ = _sweep(tile_fn, n_cap, cap_block, n_im, cpi, block_inputs)
     return i2t, t2i
+
+
+def _mesh_alignment_sweep(mesh, ims, il, cap_seqs, cl_np, gt_flat, cpi,
+                          cap_block, aggregation, use_pallas, interpret,
+                          compute_dtype):
+    """Alignment-head sweep with caption blocks sharded over the mesh —
+    the corpus-axis layout of _mesh_matching_sweep applied to the rerank
+    head: image buffers replicated, each shard scores its caption slice
+    with the full tile scorer, t2i ranks complete locally, i2t counter
+    partials psum to a replicated total (the only cross-device traffic)."""
+    axes = tuple(mesh.axis_names)
+    n_dev = mesh.size
+    blk_sz = -(-cap_block // n_dev) * n_dev  # divisible by the mesh
+    n_im, n_cap = ims.shape[0], cap_seqs.shape[0]
+    rep = NamedSharding(mesh, P())
+    ims = jax.device_put(ims, rep)
+    il = jax.device_put(il, rep)
+    gt_flat = jax.device_put(gt_flat, rep)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axes), P(axes), P(axes), P(axes), P()),
+        out_specs=(P(), P(axes)),
+    )
+    def tile(ims_l, il_l, blk, cl_blk, cols, valid, gt):
+        S = _alignment_tile(ims_l, il_l, blk, cl_blk, aggregation,
+                            use_pallas, interpret, compute_dtype)
+        S = jnp.where(valid[None, :], S, NEG)
+        d_i2t, t2i, _ = _tile_counts(S, cols, gt, cpi)
+        return jax.lax.psum(d_i2t, axes), t2i
+
+    counts = jnp.zeros((n_im, cpi), jnp.int32)
+    t2i_parts = []
+    cap_sh = NamedSharding(mesh, P(axes))
+    for lo in range(0, n_cap, blk_sz):
+        hi = min(lo + blk_sz, n_cap)
+        blk = np.zeros((blk_sz,) + cap_seqs.shape[1:], np.float32)
+        blk[: hi - lo] = np.asarray(cap_seqs[lo:hi], np.float32)
+        cl_blk = np.full((blk_sz,), 4, np.int32)
+        cl_blk[: hi - lo] = cl_np[lo:hi]
+        cols = np.arange(lo, lo + blk_sz)
+        valid = cols < n_cap
+        cols = np.where(valid, cols, 0)
+        d_i2t, t2i = tile(
+            ims, il,
+            jax.device_put(l2norm(jnp.asarray(blk), eps=1e-12), cap_sh),
+            jax.device_put(jnp.asarray(cl_blk), cap_sh),
+            jax.device_put(jnp.asarray(cols), cap_sh),
+            jax.device_put(jnp.asarray(valid), cap_sh),
+            gt_flat)
+        counts = counts + d_i2t
+        t2i_parts.append(np.asarray(t2i)[: hi - lo])
+    return np.asarray(counts.min(axis=1)), np.concatenate(t2i_parts)
 
 
 # ---------------------------------------------------------------------------

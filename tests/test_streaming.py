@@ -148,3 +148,26 @@ def test_compute_recall_auto_engages_streaming(globs, monkeypatch):
     monkeypatch.setattr(recall_mod, "STREAMING_SCORE_BYTES", 1)
     got = recall_mod.compute_recall(dup, caps, CPI)
     assert got == want
+
+
+def test_alignment_streaming_mesh_matches_solo():
+    """Alignment-head streaming over the 8-device mesh: caption blocks
+    sharded, i2t counters psum'd — ranks equal the solo sweep (and hence
+    the materialized oracle it is test-locked against)."""
+    from aladin_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.RandomState(3)
+    n = 12
+    img_sets = np.repeat(rng.randn(n, 9, D).astype(np.float32), CPI, axis=0)
+    cap_seqs = rng.randn(n * CPI, 12, D).astype(np.float32)
+    img_lens = np.repeat(rng.randint(4, 10, n), CPI).astype(np.int32)
+    cap_lens = rng.randint(4, 13, n * CPI).astype(np.int32)
+    solo = streaming_alignment_ranks(img_sets, cap_seqs, img_lens, cap_lens,
+                                     "MrSw", CPI, cap_block=16,
+                                     use_pallas=False)
+    mesh = create_mesh("dp=8")
+    dist = streaming_alignment_ranks(img_sets, cap_seqs, img_lens, cap_lens,
+                                     "MrSw", CPI, cap_block=16,
+                                     use_pallas=False, mesh=mesh)
+    np.testing.assert_array_equal(dist[0], solo[0])
+    np.testing.assert_array_equal(dist[1], solo[1])
