@@ -138,6 +138,11 @@ def evaluate_alignment_head(
     cl = jnp.asarray(cap_lens)
 
     if bucket_captions is None:
+        # engage the bucketed scorer when the caption axis saves >= 25% of
+        # its padded-word FLOPs. Image-axis bucketing exists
+        # (mrsw_scores_bucketed(bucket_images=True)) but never auto-engages:
+        # a chip A/B measured it strictly slower (regions sit on the
+        # kernel's contraction tile - see its docstring).
         w = caps.shape[1]
         cl_np = np.asarray(cap_lens)
         mean_bucket = np.minimum(

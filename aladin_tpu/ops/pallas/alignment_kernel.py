@@ -190,23 +190,52 @@ def mrsw_scores_bucketed(
     bucket_multiple: int = 16,
     min_bucket_frac: float = 0.04,
     scorer=None,
+    bucket_images: bool = False,
+    image_bucket_multiple: int = 8,
     **kernel_kw,
 ) -> Array:
-    """Caption-length-bucketed MrSw scoring: IDENTICAL scores, far fewer
-    padded-word FLOPs on real data.
+    """Length-bucketed MrSw scoring on BOTH corpus axes: IDENTICAL scores,
+    far fewer padded-slot FLOPs on real data.
 
-    The fixed-width kernel computes all W48 word lanes per caption; real
-    COCO captions average ~14 wordpieces against a 50-slot buffer, so
-    ~2/3 of the caption-axis MXU work multiplies zeros. Here captions are
-    grouped by ceil(len/16)*16 width, the kernel runs once per occupied
+    Caption axis: the fixed-width kernel computes all W48 word lanes per
+    caption; real COCO captions average ~14 wordpieces against a 50-slot
+    buffer, so ~2/3 of the caption-axis MXU work multiplies zeros. Captions
+    are grouped by ceil(len/16)*16 width, the kernel runs once per occupied
     bucket on the column subset sliced to that width, and score columns
     scatter back to corpus order. Parity is exact: a caption's tokens live
     in positions [0, len) <= bucket width, and the kernel's masking already
     zeroes everything past len (module docstring), so the dropped slots
-    contributed exactly 0 to every score. One compile per occupied bucket
-    width (at most W/16, in practice 2-3).
+    contributed exactly 0 to every score (a SUM over words).
 
-    Buckets holding < min_bucket_frac of the corpus merge upward - a
+    Image axis (``bucket_images``): the same cut on region rows - images
+    grouped by region-count bucket, each bucket scored with its rows sliced
+    to the bucket width, score ROWS scattered back. One asymmetry demands
+    care: the region reduction is a MAX, not a sum, and the reference
+    semantics (ref:alad/evaluation.py:199-211 max over a zero-filled fixed
+    buffer) give every image with fewer regions than the buffer an implicit
+    0-floor from its zeroed padding rows. Dropping ALL zero rows would lose
+    that floor whenever every real alignment for some word is negative. So
+    the bucket width is chosen STRICTLY greater than the stripped region
+    count - ceil((len+1)/8)*8, capped at the full buffer - guaranteeing at
+    least one zeroed row per non-full image; full-buffer images never had a
+    floor and land in the (uncapped) full bucket. Scores stay bitwise
+    identical: each alignment element is the same D-length contraction, and
+    the max sees the same value set (real rows + at-least-one zero).
+
+    One compile per occupied (image-width x caption-width) pair - at most
+    (R/8) x (W/16), in practice <= 6 on real data.
+
+    ``bucket_images`` defaults OFF: a measured rejection. Chip A/B (1000 x
+    5000 corpus, D=768, il~U[8,29) vs R=34 buffer, bf16): caption-only
+    625-681 ms vs both-axes 759-872 ms warm, despite a single
+    inverse-permutation gather instead of per-bucket scatters. The region
+    axis lives on the kernel's sublane/contraction tile, so slicing 34 to
+    ~24 rows frees no MXU passes - it only multiplies kernel launches
+    (one per width pair) and compiles (55-80 s vs 10 s cold). Kept as
+    opt-in library code with an exact-parity test because the 0-floor
+    analysis above is the part worth preserving.
+
+    Buckets holding < min_bucket_frac of their corpus axis merge upward - a
     sliver bucket costs a compile + a kernel launch but saves almost
     nothing.
 
@@ -214,13 +243,60 @@ def mrsw_scores_bucketed(
     intended for the eval path, not for use inside jit.
 
     ``scorer`` overrides the per-bucket scoring callable
-    ((ims, caps_subset, im_len, s_len_subset) -> (N_im, n_bucket) scores) -
-    e.g. a mesh-sharded scorer (parallel.mesh.sharded_mrsw_scores); default
-    is the local Pallas kernel with ``kernel_kw``.
+    ((ims_subset, caps_subset, im_len_subset, s_len_subset) ->
+    (n_im_bucket, n_cap_bucket) scores) - e.g. a mesh-sharded scorer
+    (parallel.mesh.sharded_mrsw_scores); default is the local Pallas kernel
+    with ``kernel_kw``.
     """
     s_len_np = np.asarray(s_len)
     n_cap, w, _ = s_seq.shape
     n_im = im_set.shape[0]
+
+    if bucket_images and n_im > 1:
+        r_buf = im_set.shape[1]
+        il_np = np.asarray(im_len)
+        # stripped count = il - 1 (strip_special_tokens drops slot 0);
+        # width > stripped keeps the 0-floor row, cap at the full buffer.
+        stripped = np.maximum(il_np - 1, 1)
+        iw = np.minimum(
+            np.ceil((stripped + 1) / image_bucket_multiple).astype(np.int64)
+            * image_bucket_multiple,
+            r_buf - 1,
+        )
+        uniq_i = np.sort(np.unique(iw))
+        counts_i = {int(u): int((iw == u).sum()) for u in uniq_i}
+        keep_i = [int(u) for u in uniq_i if counts_i[int(u)] >= min_bucket_frac * n_im]
+        if not keep_i or keep_i[-1] != int(uniq_i[-1]):
+            keep_i.append(int(uniq_i[-1]))
+        for i, u in enumerate(iw):
+            iw[i] = next(k for k in keep_i if k >= u)
+        if not (len(keep_i) == 1 and keep_i[0] == r_buf - 1):
+            sub_kw = dict(
+                bucket_multiple=bucket_multiple,
+                min_bucket_frac=min_bucket_frac,
+                scorer=scorer,
+                bucket_images=False,
+                **kernel_kw,
+            )
+            im_len_dev = jnp.asarray(im_len)
+            row_blocks, row_order = [], []
+            for width in keep_i:
+                ridx = np.nonzero(iw == width)[0]
+                if ridx.size == 0:
+                    continue
+                dridx = jnp.asarray(ridx)
+                # slot 0 (the stripped special slot) + width region slots
+                sub_im = jnp.take(im_set, dridx, axis=0)[:, : width + 1]
+                rows = mrsw_scores_bucketed(
+                    sub_im, s_seq, jnp.take(im_len_dev, dridx), s_len, **sub_kw
+                )
+                row_blocks.append(jnp.asarray(rows, jnp.float32))
+                row_order.append(ridx)
+            # one inverse-permutation gather instead of K full-matrix
+            # scatters (each .at[].set would rewrite the whole buffer)
+            inv = np.empty(n_im, np.int64)
+            inv[np.concatenate(row_order)] = np.arange(n_im)
+            return jnp.concatenate(row_blocks, axis=0)[jnp.asarray(inv)]
     widths = np.minimum(
         np.ceil(np.maximum(s_len_np, 4) / bucket_multiple).astype(np.int64)
         * bucket_multiple, w,

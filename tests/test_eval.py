@@ -265,6 +265,55 @@ def test_bucketed_scoring_exact_parity(rng):
     np.testing.assert_allclose(b2, p2, atol=1e-5)
 
 
+def test_image_bucketed_scoring_exact_parity(rng):
+    """Image-axis (region-count) bucketing must be bitwise-exact vs the
+    unbucketed kernel. The region reduction is a MAX: every non-full image
+    owes its implicit 0-floor to zeroed padding rows, so the bucket width
+    must stay STRICTLY greater than the stripped region count. This test
+    makes the floor decisive: one image's regions are anti-aligned with
+    every caption token (all real alignments negative), and its stripped
+    length sits exactly on a bucket multiple - a naive width==len bucketing
+    would drop the floor and flip its scores negative."""
+    from aladin_tpu.ops.pallas.alignment_kernel import (
+        mrsw_scores_bucketed,
+        mrsw_scores_pallas,
+    )
+
+    n_im, n_cap, r, w, d = 23, 11, 34, 20, 16
+    im = rng.randn(n_im, r, d).astype(np.float32)
+    ss = rng.randn(n_cap, w, d).astype(np.float32)
+    il = rng.randint(3, r + 1, n_im).astype(np.int32)
+    sl = rng.randint(4, w + 1, n_cap).astype(np.int32)
+    il[0] = r          # full buffer: never had a floor, lands in full bucket
+    il[1] = 9          # stripped = 8, exactly on the 8-multiple boundary
+    im[1] = -np.abs(im[1])  # anti-aligned regions ...
+    ss_pos = np.abs(ss)     # ... vs all-positive caption tokens
+    args = (jnp.array(im), jnp.array(ss_pos), jnp.array(il), jnp.array(sl))
+
+    base = np.asarray(mrsw_scores_pallas(*args, interpret=True,
+                                         compute_dtype=jnp.float32))
+    buck = np.asarray(mrsw_scores_bucketed(*args, interpret=True,
+                                           compute_dtype=jnp.float32,
+                                           bucket_images=True,
+                                           min_bucket_frac=0.0))
+    np.testing.assert_array_equal(buck, base)
+    # the floor actually bit: image 1's scores are exactly the zero floor
+    # summed over words (0.0), not the negative max a floorless cut gives
+    assert np.all(base[1] == 0.0)
+    # trusted-path agreement and image-axis sliver merging
+    ref = np.asarray(alignment_scores(*args))
+    np.testing.assert_allclose(buck, ref, atol=1e-4)
+    merged = np.asarray(mrsw_scores_bucketed(*args, interpret=True,
+                                             compute_dtype=jnp.float32,
+                                             bucket_images=True,
+                                             min_bucket_frac=0.3))
+    np.testing.assert_array_equal(merged, base)
+    # default (off, the measured-rejection posture): caption-only bucketing
+    off = np.asarray(mrsw_scores_bucketed(*args, interpret=True,
+                                          compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(off, base)
+
+
 def test_bucketed_scoring_through_eval_head(rng):
     """Auto-bucketing inside evaluate_alignment_head: engages on a
     short-caption corpus and returns identical ranks to the forced-off
