@@ -225,15 +225,18 @@ def mrsw_scores_bucketed(
     One compile per occupied (image-width x caption-width) pair - at most
     (R/8) x (W/16), in practice <= 6 on real data.
 
-    ``bucket_images`` defaults OFF: a measured rejection. Chip A/B (1000 x
-    5000 corpus, D=768, il~U[8,29) vs R=34 buffer, bf16): caption-only
-    625-681 ms vs both-axes 759-872 ms warm, despite a single
-    inverse-permutation gather instead of per-bucket scatters. The region
-    axis lives on the kernel's sublane/contraction tile, so slicing 34 to
-    ~24 rows frees no MXU passes - it only multiplies kernel launches
-    (one per width pair) and compiles (55-80 s vs 10 s cold). Kept as
-    opt-in library code with an exact-parity test because the 0-floor
-    analysis above is the part worth preserving.
+    ``bucket_images`` defaults OFF: a measured rejection, three chip A/Bs
+    deep. Small corpus (1000x5000, bf16): caption-only 625-681 ms vs
+    both-axes 759-872 ms. Headline scale (5000x25000, int8, il~U[5,34] -
+    a ~32% region-FLOP cut): plain 866 ms vs image-ONLY bucketing 935 ms
+    (isolated via a single full-width caption bucket) vs both-axes
+    1242 ms. The unbucketed int8 kernel already runs at ~90% of the
+    394-TOPS int8 peak, and slicing operand ROWS (bi*r -> bi*r') is not
+    FLOP-proportional in this grid - per-program fixed work (caption tile
+    streaming, selector matmul, output store) is unchanged while compiles
+    multiply (one per width pair, 55-80 s vs 10 s cold). Kept as opt-in
+    library code with an exact-parity test because the 0-floor analysis
+    above is the part worth preserving.
 
     Buckets holding < min_bucket_frac of their corpus axis merge upward - a
     sliver bucket costs a compile + a kernel launch but saves almost
